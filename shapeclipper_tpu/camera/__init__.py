@@ -1,0 +1,255 @@
+"""Stateless camera/pose algebra on [..., 3, 4] extrinsics — pure jax.numpy.
+
+Functional port of the reference pose utilities (reference `utils/camera.py`):
+pose construction/inversion/composition, homogeneous transforms, angle→rotation
+constructors, pixel-grid ray generation (perspective & orthographic), and
+batched intrinsics. TPU-first differences:
+
+  * everything is a pure function of arrays (jit/vmap/grad-composable)
+  * `get_center_and_ray` accepts an optional `ray_idx` and generates rays ONLY
+    at the sampled pixels instead of building the full HxW grid and gathering
+    (the reference gathers from the dense grid, `model/renderer.py:63-68`);
+    mathematically identical, ~100x less work at 512/50176 rays
+  * rotations are assembled with stacks instead of in-place row writes so XLA
+    sees a single fused expression
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# pose construction & composition
+# ---------------------------------------------------------------------------
+
+def pose(R=None, t=None):
+    """Build a [..., 3, 4] pose from rotation R [..., 3, 3] and/or t [..., 3]."""
+    assert R is not None or t is not None
+    if R is None:
+        t = jnp.asarray(t, dtype=jnp.float32)
+        R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (*t.shape[:-1], 3, 3))
+    elif t is None:
+        R = jnp.asarray(R, dtype=jnp.float32)
+        t = jnp.zeros(R.shape[:-1], dtype=jnp.float32)
+    else:
+        R = jnp.asarray(R, dtype=jnp.float32)
+        t = jnp.asarray(t, dtype=jnp.float32)
+        t = jnp.broadcast_to(t, R.shape[:-1])
+    return jnp.concatenate([R, t[..., None]], axis=-1)
+
+
+def invert_pose(p):
+    """Invert a [..., 3, 4] pose (rotation assumed orthonormal)."""
+    R, t = p[..., :3], p[..., 3:]
+    R_inv = jnp.swapaxes(R, -1, -2)
+    t_inv = (-R_inv @ t)[..., 0]
+    return pose(R=R_inv, t=t_inv)
+
+
+def compose_pair(pose_a, pose_b):
+    """pose_new(x) = pose_b(pose_a(x))."""
+    R_a, t_a = pose_a[..., :3], pose_a[..., 3:]
+    R_b, t_b = pose_b[..., :3], pose_b[..., 3:]
+    R_new = R_b @ R_a
+    t_new = (R_b @ t_a + t_b)[..., 0]
+    return pose(R=R_new, t=t_new)
+
+
+def compose(pose_list):
+    """pose_new(x) = poseN(...(pose2(pose1(x)))...)."""
+    pose_new = pose_list[0]
+    for p in pose_list[1:]:
+        pose_new = compose_pair(pose_new, p)
+    return pose_new
+
+
+# ---------------------------------------------------------------------------
+# homogeneous-coordinate transforms
+# ---------------------------------------------------------------------------
+
+def to_hom(X):
+    return jnp.concatenate([X, jnp.ones_like(X[..., :1])], axis=-1)
+
+
+def world2cam(X, p):  # X: [B, N, 3], p: [..., 3, 4]
+    return to_hom(X) @ jnp.swapaxes(p, -1, -2)
+
+
+def cam2world(X, p):
+    pose_inv = invert_pose(p)
+    return to_hom(X) @ jnp.swapaxes(pose_inv, -1, -2)
+
+
+def cam2img(X, cam_intr):
+    return X @ jnp.swapaxes(cam_intr, -1, -2)
+
+
+def img2cam(X, cam_intr):
+    return X @ jnp.swapaxes(jnp.linalg.inv(cam_intr), -1, -2)
+
+
+def transform_normal(normals, p):
+    """Rotate normal vectors into the canonical frame (rotation only).
+
+    Reference `utils/camera.py:98-103`.
+    """
+    rotation = p[..., :3, :3]
+    normal_pose = pose(R=rotation)  # zero translation
+    return cam2world(normals, normal_pose)
+
+
+# ---------------------------------------------------------------------------
+# angle -> rotation matrices (supports 'rad', 'angle' (deg), 'trig' ([...,2]))
+# ---------------------------------------------------------------------------
+
+def _get_trig(x, representation):
+    if representation == "rad":
+        return jnp.cos(x), jnp.sin(x)
+    if representation == "angle":
+        x = x * jnp.pi / 180
+        return jnp.cos(x), jnp.sin(x)
+    if representation == "trig":
+        return x[..., 0], x[..., 1]
+    raise ValueError(representation)
+
+
+def azim_to_rotation_matrix(azim, representation="rad"):
+    """Angle with +X, rotated in the XZ plane (reference `utils/camera.py:105-121`)."""
+    cos, sin = _get_trig(azim, representation)
+    zeros, ones = jnp.zeros_like(cos), jnp.ones_like(cos)
+    row0 = jnp.stack([cos, zeros, sin], axis=-1)
+    row1 = jnp.stack([zeros, ones, zeros], axis=-1)
+    row2 = jnp.stack([-sin, zeros, cos], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def elev_to_rotation_matrix(elev, representation="rad"):
+    """Angle with +Z in the YZ plane (reference `utils/camera.py:123-138`)."""
+    cos, sin = _get_trig(elev, representation)
+    zeros, ones = jnp.zeros_like(cos), jnp.ones_like(cos)
+    row0 = jnp.stack([ones, zeros, zeros], axis=-1)
+    row1 = jnp.stack([zeros, cos, -sin], axis=-1)
+    row2 = jnp.stack([zeros, sin, cos], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def roll_to_rotation_matrix(roll, representation="rad"):
+    """Angle with +X in the XY plane (reference `utils/camera.py:140-155`)."""
+    cos, sin = _get_trig(roll, representation)
+    zeros, ones = jnp.zeros_like(cos), jnp.ones_like(cos)
+    row0 = jnp.stack([cos, sin, zeros], axis=-1)
+    row1 = jnp.stack([-sin, cos, zeros], axis=-1)
+    row2 = jnp.stack([zeros, zeros, ones], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# ray generation
+# ---------------------------------------------------------------------------
+
+def pixel_grid_xy(H, W, model="perspective", ray_idx=None, dtype=jnp.float32):
+    """2D pixel coordinates, either the full [HW, 2] grid or gathered at ray_idx.
+
+    Perspective: pixel centers (col+0.5, row+0.5); orthographic: [-1, 1] ndc
+    (reference `utils/camera.py:157-169`).
+    """
+    if ray_idx is None:
+        if model == "perspective":
+            y = jnp.arange(H, dtype=dtype) + 0.5
+            x = jnp.arange(W, dtype=dtype) + 0.5
+        else:
+            assert H == W
+            y = jnp.linspace(-1.0, 1.0, H, dtype=dtype)
+            x = jnp.linspace(-1.0, 1.0, W, dtype=dtype)
+        Y, X = jnp.meshgrid(y, x, indexing="ij")
+        return jnp.stack([X, Y], axis=-1).reshape(-1, 2)  # [HW, 2]
+    # sparse: ray_idx [..., R] flat indices into the row-major HxW grid
+    row = ray_idx // W
+    col = ray_idx % W
+    if model == "perspective":
+        x = col.astype(dtype) + 0.5
+        y = row.astype(dtype) + 0.5
+    else:
+        assert H == W
+        x = -1.0 + 2.0 * col.astype(dtype) / (W - 1)
+        y = -1.0 + 2.0 * row.astype(dtype) / (H - 1)
+    return jnp.stack([x, y], axis=-1)  # [..., R, 2]
+
+
+def get_camera_grid(opt, batch_size, intr=None, ray_idx=None):
+    """3D locations of (a subset of) image pixels in the camera frame (d=1 plane).
+
+    Reference `utils/camera.py:157-175`; here optionally sparse via ray_idx
+    ([B, R] flat pixel indices).
+    """
+    model = opt.camera.model
+    xy = pixel_grid_xy(opt.H, opt.W, model=model, ray_idx=ray_idx)
+    if ray_idx is None:
+        xy_grid = jnp.broadcast_to(xy[None], (batch_size, *xy.shape))  # [B,HW,2]
+    else:
+        xy_grid = xy  # already [B,R,2]
+    if model == "perspective":
+        grid_3D = img2cam(to_hom(xy_grid), intr)  # [B,R,3]
+    elif model == "orthographic":
+        grid_3D = to_hom(xy_grid)
+    else:
+        raise ValueError(model)
+    return xy_grid, grid_3D
+
+
+def get_center_and_ray(opt, p, intr=None, ray_idx=None):
+    """Camera centers and (unnormalized) ray directions in world coordinates.
+
+    Returns (center_3D, ray): perspective center is [B, 1, 3] (shared across
+    rays), orthographic center is per-ray. Reference `utils/camera.py:177-196`.
+    """
+    batch_size = p.shape[0]
+    xy_grid, grid_3D = get_camera_grid(opt, batch_size, intr=intr, ray_idx=ray_idx)
+    if opt.camera.model == "perspective":
+        center_3D = jnp.zeros((batch_size, 1, 3), dtype=grid_3D.dtype)
+    else:
+        center_3D = jnp.concatenate(
+            [xy_grid, jnp.zeros_like(xy_grid[..., :1])], axis=-1)
+    grid_3D = cam2world(grid_3D, p)
+    center_3D = cam2world(center_3D, p)
+    ray = grid_3D - center_3D
+    return center_3D, ray
+
+
+def get_intr(opt, scale_focal):
+    """Batched pinhole intrinsics from a per-sample focal scale.
+
+    Reference `utils/camera.py:198-211`.
+    """
+    scale_focal = jnp.asarray(scale_focal, dtype=jnp.float32)
+    zeros = jnp.zeros_like(scale_focal)
+    ones = jnp.ones_like(scale_focal)
+    f = opt.camera.focal * scale_focal
+    intr = jnp.stack(
+        [
+            f * opt.W, zeros, ones * opt.W / 2,
+            zeros, f * opt.H, ones * opt.H / 2,
+            zeros, zeros, ones,
+        ],
+        axis=-1,
+    ).reshape(*scale_focal.shape, 3, 3)
+    return intr
+
+
+def pose_from_azim_elev(azim, elev):
+    """Look-at rotation from trig azim/elev pairs (reference `utils/camera.py:55-74`)."""
+    cos_a, sin_a = azim[:, 0], azim[:, 1]
+    cos_e, sin_e = elev[:, 0], elev[:, 1]
+    x = cos_a * cos_e
+    y = sin_a * cos_e
+    z = sin_e
+    cam_location = jnp.stack([x, y, z], axis=-1)
+    forward = -cam_location
+    tmp = jnp.broadcast_to(jnp.array([[0.0, 0.0, -1.0]]), forward.shape)
+    right = jnp.cross(tmp, forward)
+    right = right / (jnp.linalg.norm(right, axis=-1, keepdims=True) + 1e-12)
+    up = jnp.cross(forward, right)
+    up = up / (jnp.linalg.norm(up, axis=-1, keepdims=True) + 1e-12)
+    rotation = jnp.stack([right, up, forward], axis=-1)
+    return jnp.swapaxes(rotation, -1, -2)
