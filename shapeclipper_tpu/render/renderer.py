@@ -1,0 +1,199 @@
+"""VolSDF-style differentiable volume renderer — one fused, jittable function.
+
+Functional port of the reference renderer (reference `model/renderer.py`).
+The whole block — ray generation, depth sampling, SDF/RGB field evaluation,
+volume-density normals, compositing, eikonal sampling — traces into a single
+XLA computation over a static [B, R, S] lattice with no host round-trips.
+
+TPU-first design points:
+  * rays are generated only at the sampled pixels (camera.get_center_and_ray
+    with ray_idx) instead of building the dense HxW grid and gathering
+  * volume normals: -∇x density = -density'(sdf) · ∇x sdf, where ∇x sdf comes
+    from one jax.vjp pass; this nests cleanly under the outer training
+    gradient (the reference needed create_graph=True double backward,
+    `model/renderer.py:93-107`)
+  * batch/ray axes stay separate ([B, R, ...]) so the batch axis can be
+    sharded over the device mesh; there is no cross-ray communication
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import camera
+from ..models.implicit import (laplace_density, laplace_density_dsdf,
+                               sdf_with_gradient)
+
+
+class RenderOutputs(NamedTuple):
+    rgb: jnp.ndarray          # [B, R, 3]
+    mask: jnp.ndarray         # [B, R, 1]
+    mask_hard: jnp.ndarray    # [B, R, 1]
+    depth: jnp.ndarray        # [B, R, 1]
+    normal: jnp.ndarray       # [B, R, 3]
+    grad_eikonal: Optional[jnp.ndarray]  # [B, 2R] when training else None
+    extras: Dict[str, Any]
+
+
+def _safe_normalize(x, axis=-1, eps=1e-12):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+
+
+def sample_z_vals(opt, rng, n_rays, scale_dist, training):
+    """Uniform depth samples in [dist*scale - 0.7, dist*scale + 0.7] with
+    stratified jitter when training, plus one random per-ray eikonal depth.
+
+    Reference `model/renderer.py:13-37`. Returns (z_vals [B,R,S],
+    z_eik [B,R,1]).
+    """
+    S = opt.render.n_samples_uniform
+    B = scale_dist.shape[0]
+    near = opt.camera.dist * scale_dist[:, None, None] - 0.7  # [B,1,1]
+    far = opt.camera.dist * scale_dist[:, None, None] + 0.7
+    t_vals = jnp.linspace(0.0, 1.0, S, dtype=jnp.float32)
+    z_vals = near * (1.0 - t_vals) + far * t_vals              # [B,1,S]
+    z_vals = jnp.broadcast_to(z_vals, (B, n_rays, S))
+
+    rng_strat, rng_eik = (jax.random.split(rng) if rng is not None
+                          else (None, None))
+    if training:
+        mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        upper = jnp.concatenate([mids, z_vals[..., -1:]], axis=-1)
+        lower = jnp.concatenate([z_vals[..., :1], mids], axis=-1)
+        t_rand = jax.random.uniform(rng_strat, z_vals.shape)
+        z_vals = lower + (upper - lower) * t_rand
+
+    if rng_eik is not None:
+        idx = jax.random.randint(rng_eik, (B, n_rays, 1), 0, S)
+    else:
+        idx = jnp.zeros((B, n_rays, 1), jnp.int32)
+    z_eik = jnp.take_along_axis(z_vals, idx, axis=-1)           # [B,R,1]
+    return z_vals, z_eik
+
+
+def volume_rendering(z_vals, density):
+    """alpha = 1 - e^{-dist·density}; T = e^{-cumsum(shifted free energy)};
+    weights = alpha · T. Reference `model/renderer.py:187-209`.
+
+    z_vals, density: [B, R, S] -> (weights, alpha) [B, R, S].
+    """
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate([dists, jnp.zeros_like(dists[..., :1])], axis=-1)
+    free_energy = dists * density
+    shifted = jnp.concatenate(
+        [jnp.zeros_like(free_energy[..., :1]), free_energy[..., :-1]], axis=-1)
+    alpha = 1.0 - jnp.exp(-free_energy)
+    transmittance = jnp.exp(-jnp.cumsum(shifted, axis=-1))
+    weights = alpha * transmittance
+    return weights, alpha
+
+
+def render(
+    opt,
+    sdf_apply: Callable,
+    rgb_apply: Callable,
+    params: Dict[str, Any],
+    pose: jnp.ndarray,          # [B, 3, 4]
+    intr: jnp.ndarray,          # [B, 3, 3]
+    scale_dist: jnp.ndarray,    # [B]
+    proj_latent_sdf: jnp.ndarray,  # [B, Csdf]
+    proj_latent_rgb: jnp.ndarray,  # [B, Crgb]
+    ray_idx: Optional[jnp.ndarray] = None,  # [B, R] flat pixel indices
+    rng: Optional[jax.Array] = None,
+    training: bool = True,
+    visualize: bool = False,
+) -> RenderOutputs:
+    """Render rgb/mask/depth/normal maps (+ eikonal gradients when training).
+
+    Reference semantics: `model/renderer.py:57-185`.
+    """
+    B = pose.shape[0]
+    S = opt.render.n_samples_uniform
+    assert opt.render.sampler == "uniform"
+    assert opt.render.normal_model == "volume"
+
+    # --- rays ------------------------------------------------------------
+    cam_loc, ray_raw = camera.get_center_and_ray(opt, pose, intr=intr,
+                                                 ray_idx=ray_idx)
+    ray_dirs = _safe_normalize(ray_raw)
+    # depth factor converts ray length (z) to real depth along the optical axis
+    depth_fac = 1.0 / jnp.maximum(
+        jnp.linalg.norm(ray_raw, axis=-1, keepdims=True), 1e-12)  # [B,R,1]
+    R = ray_dirs.shape[1]
+    if opt.camera.model == "perspective":
+        cam_loc = jnp.broadcast_to(cam_loc, (B, R, 3))
+
+    # --- depth samples -----------------------------------------------------
+    rng_z, rng_eik_pts = (jax.random.split(rng) if rng is not None
+                          else (None, None))
+    z_vals, z_eik = sample_z_vals(opt, rng_z, R, scale_dist, training)
+
+    # --- sample points [B, R, S, 3] -> flatten ray/sample axes -------------
+    points = cam_loc[:, :, None, :] + z_vals[..., None] * ray_dirs[:, :, None, :]
+    points_flat = points.reshape(B, R * S, 3)
+
+    # --- SDF + spatial gradient + density ----------------------------------
+    lat_sdf = jnp.broadcast_to(proj_latent_sdf[:, None, :],
+                               (B, R * S, proj_latent_sdf.shape[-1]))
+    sdf, sdf_feat, grad_sdf = sdf_with_gradient(
+        sdf_apply, params["sdf_network"], points_flat, lat_sdf,
+        detach_latent=False)
+    beta = params["density"]["beta"]
+    density = laplace_density(sdf, beta).reshape(B, R, S)
+
+    # volume normal = -∇x density = -density'(sdf) * ∇x sdf
+    normal_flat = -laplace_density_dsdf(sdf, beta) * grad_sdf   # [B,RS,3]
+
+    # --- RGB field ----------------------------------------------------------
+    lat_rgb = jnp.broadcast_to(proj_latent_rgb[:, None, :],
+                               (B, R * S, proj_latent_rgb.shape[-1]))
+    rgb_flat = rgb_apply({"params": params["rgb_network"]},
+                         points_flat, lat_rgb, sdf_feat)        # [B,RS,3]
+    rgb = rgb_flat.reshape(B, R, S, 3)
+
+    # --- composite -----------------------------------------------------------
+    weights, alphas = volume_rendering(z_vals, density)          # [B,R,S]
+
+    depth_samples = z_vals * depth_fac                            # [B,R,S]
+    depth_values = jnp.sum(weights * depth_samples, axis=-1, keepdims=True)
+
+    normal = _safe_normalize(normal_flat).reshape(B, R, S, 3)
+    normal_weights = weights[..., None] ** opt.reg.normal_pow
+    normal_values = _safe_normalize(jnp.sum(normal_weights * normal, axis=-2))
+
+    acc_map = jnp.sum(weights, axis=-1)                           # [B,R]
+    rgb_values = jnp.sum(weights[..., None] * rgb, axis=-2)       # [B,R,3]
+    bg = float(opt.data.bgcolor) if opt.data.bgcolor is not None else 0.0
+    rgb_output = rgb_values + (1.0 - acc_map[..., None]) * bg
+    mask = acc_map[..., None]
+    mask_hard = (mask > 0.5).astype(rgb_output.dtype)
+
+    # --- eikonal points (training only) --------------------------------------
+    grad_eikonal = None
+    if training:
+        lo, hi = opt.arch.impl_sdf.eikonal_sample_range
+        eik_uniform = jax.random.uniform(
+            rng_eik_pts, (B, R, 3), minval=lo, maxval=hi)
+        eik_near = cam_loc + z_eik * ray_dirs                     # [B,R,3]
+        eik_points = jnp.concatenate([eik_uniform, eik_near], axis=1)
+        lat_eik = jnp.broadcast_to(proj_latent_sdf[:, None, :],
+                                   (B, 2 * R, proj_latent_sdf.shape[-1]))
+        _, _, grad_eik = sdf_with_gradient(
+            sdf_apply, params["sdf_network"], eik_points, lat_eik,
+            detach_latent=True)
+        grad_eikonal = jnp.linalg.norm(grad_eik, axis=-1)         # [B,2R]
+
+    extras: Dict[str, Any] = {}
+    if visualize:
+        opacity = alphas[..., None]                               # [B,R,S,1]
+        extras["points"] = points                                  # [B,R,S,3]
+        extras["transparency"] = jnp.concatenate(
+            [opacity, 1.0 - opacity, jnp.zeros_like(opacity)], axis=-1)
+        extras["rgb_samples"] = jnp.concatenate([rgb, opacity], axis=-1)
+
+    return RenderOutputs(rgb=rgb_output, mask=mask, mask_hard=mask_hard,
+                         depth=depth_values, normal=normal_values,
+                         grad_eikonal=grad_eikonal, extras=extras)
