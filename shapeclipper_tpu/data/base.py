@@ -1,0 +1,120 @@
+"""Dataset base + host-side batch loader.
+
+The reference uses torch DataLoader worker processes + DistributedSampler
+(reference `data/base.py:16-30`). TPU-native replacement: a single-controller
+thread-pool loader producing stacked numpy batches; multi-host sharding slices
+the index space by (shard_id, num_shards) (jax.process_index/count) instead of
+a DistributedSampler.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+def default_collate(samples):
+    """Stack a list of dict samples (values: np arrays / scalars / dicts)."""
+    out = {}
+    for key in samples[0]:
+        v0 = samples[0][key]
+        if isinstance(v0, dict):
+            out[key] = default_collate([s[key] for s in samples])
+        else:
+            out[key] = np.stack([np.asarray(s[key]) for s in samples], axis=0)
+    return out
+
+
+class Dataset:
+    def __init__(self, opt, split):
+        self.opt = opt.deepcopy() if hasattr(opt, "deepcopy") else opt
+        self.split = split
+
+    def __len__(self):
+        return len(self.list)
+
+    def __getitem__(self, idx):
+        raise NotImplementedError
+
+    def setup_loader(self, opt, shuffle=False, drop_last=True, batch_size=None,
+                     shard_id=0, num_shards=1, seed=0):
+        batch_size = batch_size or opt.batch_size
+        return DataLoader(self, batch_size=batch_size, shuffle=shuffle,
+                          drop_last=drop_last,
+                          num_workers=opt.data.get("num_workers", 4) or 0,
+                          shard_id=shard_id, num_shards=num_shards, seed=seed)
+
+
+class DataLoader:
+    """Epoch-based loader: shuffles indices, loads samples with a thread pool,
+    prefetches collated batches on a background thread."""
+
+    def __init__(self, dataset, batch_size, shuffle=False, drop_last=True,
+                 num_workers=4, shard_id=0, num_shards=1, seed=0,
+                 prefetch=2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(int(num_workers), 0)
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.seed = seed
+        self.epoch = 0
+        self.prefetch = prefetch
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def _epoch_indices(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(idx)
+        idx = idx[self.shard_id::self.num_shards]
+        return idx
+
+    def __len__(self):
+        n = len(self._epoch_indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        indices = self._epoch_indices()
+        nb = len(self)
+        batches = [indices[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(nb)]
+
+        if self.num_workers == 0:
+            for b in batches:
+                yield default_collate([self.dataset[int(i)] for i in b])
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self.dataset.__getitem__,
+                                            [int(i) for i in b]))
+                    q.put(default_collate(samples))
+            q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()

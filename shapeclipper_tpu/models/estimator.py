@@ -1,0 +1,103 @@
+"""Viewpoint estimator: ResNet-18 backbone + trig extrinsic & scale heads.
+
+Parity with the reference estimator (reference `model/view_estimator.py:35-103`):
+extrinsics as three L2-normalized (cos, sin) pairs (azim/elev/theta), plus
+tanh-bounded size & perspective scales. Initialization forces elev = theta = 0
+and scales = 1; `reset_scale_params` re-zeros the scale heads (called at train
+start, reference `model/runner.py:172`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import BottleneckLinear
+from .resnet import resnet18
+
+
+class EstimatorOutputs(NamedTuple):
+    trig_azim: jnp.ndarray    # [B, 2] (cos, sin)
+    trig_elev: jnp.ndarray    # [B, 2]
+    trig_theta: jnp.ndarray   # [B, 2]
+    scale_focal: jnp.ndarray  # [B]
+    scale_dist: jnp.ndarray   # [B]
+
+
+def _extr_kernel_init(key, shape, dtype=jnp.float32):
+    # torch: zero rows 2:6 of the [6, in] weight; flax kernel is [in, 6]
+    from .implicit import _torch_linear_kernel_init
+    w = _torch_linear_kernel_init(key, shape, dtype)
+    col = jnp.arange(shape[1])
+    return jnp.where((col >= 2)[None, :], 0.0, w)
+
+
+def _extr_bias_init(key, shape, dtype=jnp.float32):
+    # cos(0)=1, sin(0)=0 for elev and theta; azim bias stays zero
+    assert shape == (6,)
+    return jnp.array([0.0, 0.0, 1.0, 0.0, 1.0, 0.0], dtype)
+
+
+def _normalize(x, axis=-1, eps=1e-12):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+
+
+class Estimator(nn.Module):
+    size_range: float = 0.2
+    perspect_range: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, train: bool = True) -> EstimatorOutputs:
+        feat = resnet18(num_classes=None, dtype=self.dtype,
+                        )(images, train=train)          # [B, 512]
+        n = feat.shape[-1]
+
+        feat_extr = BottleneckLinear(n, zero_init=True, name="extr_head")(
+            feat, train=train)
+        trig = nn.Dense(6, kernel_init=_extr_kernel_init,
+                        bias_init=_extr_bias_init, name="extr_fc")(feat_extr)
+        trig_azim = _normalize(trig[:, 0:2])
+        trig_elev = _normalize(trig[:, 2:4])
+        trig_theta = _normalize(trig[:, 4:6])
+
+        feat_size = BottleneckLinear(n, zero_init=True, name="size_head")(
+            feat, train=train)
+        scale_size_raw = jnp.tanh(
+            nn.Dense(1, kernel_init=nn.initializers.zeros_init(),
+                     bias_init=nn.initializers.zeros_init(),
+                     name="size_fc")(feat_size))[..., 0]
+        scale_size = 1.0 + scale_size_raw * self.size_range
+
+        feat_persp = BottleneckLinear(n, zero_init=True, name="perspect_head")(
+            feat, train=train)
+        scale_persp_raw = jnp.tanh(
+            nn.Dense(1, kernel_init=nn.initializers.zeros_init(),
+                     bias_init=nn.initializers.zeros_init(),
+                     name="perspect_fc")(feat_persp))[..., 0]
+        scale_perspect = 1.0 + scale_persp_raw * self.perspect_range
+
+        return EstimatorOutputs(
+            trig_azim=trig_azim, trig_elev=trig_elev, trig_theta=trig_theta,
+            scale_focal=scale_perspect,
+            scale_dist=scale_size * scale_perspect)
+
+    @staticmethod
+    def from_opt(opt, dtype=jnp.float32):
+        return Estimator(size_range=opt.camera.size_range,
+                         perspect_range=opt.camera.perspect_range,
+                         dtype=dtype)
+
+
+def reset_scale_params(estimator_params):
+    """Zero the size/perspect fc heads so scales start at exactly 1
+    (reference `model/view_estimator.py:72-77`)."""
+    p = dict(estimator_params)
+    for head in ("size_fc", "perspect_fc"):
+        sub = dict(p[head])
+        sub["kernel"] = jnp.zeros_like(sub["kernel"])
+        sub["bias"] = jnp.zeros_like(sub["bias"])
+        p[head] = sub
+    return p

@@ -1,0 +1,429 @@
+"""Training computation graph: encoder -> latents -> pose -> render -> losses.
+
+Functional port of the reference Graph (reference `model/graph.py:42-321`).
+The Graph is a plain-python bundle of flax modules exposing pure functions
+over a (params, batch_stats) pytree, so the entire forward + loss traces into
+one jit'd XLA computation (including the CLIP-NN consistency branch and the
+flip-symmetry estimator pass).
+
+Input layout is NHWC (TPU-native); NN stacks are [B, K, ...] (the reference
+stacks neighbors on a trailing dim, `data/pix3d.py:203-222`).
+
+Device-side NN view selection: the reference scores neighbors by mask-IoU and
+does weighted sampling without replacement with host numpy
+(`model/graph.py:119-142`); here the same Plackett-Luce sampling is done with
+Gumbel top-k under `jax.random`, keeping the step fully on device.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import camera
+from .. import losses as L
+from ..render import renderer as renderlib
+from ..utils.easydict import EasyDict as edict
+from .estimator import Estimator
+from .implicit import RGBNetwork, SDFNetwork, init_density_params
+from .layers import LatentProjection
+from .resnet import make_encoder
+
+# canonical-frame permutation applied after Rz·Rx·Ry (reference
+# `model/graph.py:276-281`)
+R_PERMUTE = jnp.array([[-1.0, 0.0, 0.0],
+                       [0.0, 0.0, -1.0],
+                       [0.0, -1.0, 0.0]], dtype=jnp.float32)
+
+
+def _dtype_from_str(s):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[s or "float32"]
+
+
+class Graph:
+    """Model bundle + pure forward/loss functions."""
+
+    def __init__(self, opt):
+        self.opt = opt
+        enc_dtype = _dtype_from_str(opt.get("tpu", {}).get("encoder_dtype"))
+        self.encoder = make_encoder(opt, dtype=enc_dtype)
+        self.estimator = Estimator.from_opt(opt, dtype=enc_dtype)
+        self.latent_proj_shape = LatentProjection(
+            opt.arch.latent_dim_shape, opt.arch.impl_sdf.proj_latent_dim)
+        self.latent_proj_rgb = LatentProjection(
+            opt.arch.latent_dim_rgb, opt.arch.impl_rgb.proj_latent_dim)
+        self.sdf_network = SDFNetwork.from_opt(opt)
+        self.rgb_network = RGBNetwork.from_opt(opt)
+
+    # ------------------------------------------------------------------ init
+    def init(self, rng) -> Dict[str, Any]:
+        opt = self.opt
+        keys = jax.random.split(rng, 8)
+        img = jnp.zeros((1, opt.H, opt.W, 3), jnp.float32)
+        latent_shape = jnp.zeros((1, opt.arch.latent_dim_shape))
+        latent_rgb = jnp.zeros((1, opt.arch.latent_dim_rgb))
+        pts = jnp.zeros((1, 4, 3))
+        lat_s = jnp.zeros((1, 4, opt.arch.impl_sdf.proj_latent_dim))
+        lat_r = jnp.zeros((1, 4, opt.arch.impl_rgb.proj_latent_dim))
+        feat = jnp.zeros((1, 4, opt.arch.impl_sdf.n_channels))
+
+        v_enc = self.encoder.init(keys[0], img, train=False)
+        v_est = self.estimator.init(keys[1], img, train=False)
+        v_ps = self.latent_proj_shape.init(keys[2], latent_shape, train=False)
+        v_pr = self.latent_proj_rgb.init(keys[3], latent_rgb, train=False)
+        v_sdf = self.sdf_network.init(keys[4], pts, lat_s)
+        v_rgb = self.rgb_network.init(keys[5], pts, lat_r, feat)
+
+        params = {
+            "encoder": v_enc["params"],
+            "estimator": v_est["params"],
+            "latent_proj_shape": v_ps["params"],
+            "latent_proj_rgb": v_pr["params"],
+            "sdf_network": v_sdf["params"],
+            "rgb_network": v_rgb["params"],
+            "density": init_density_params(opt),
+        }
+        if opt.loss_weight.get("category_reg") is not None:
+            params["category_centers"] = 0.02 * jax.random.normal(
+                keys[6], (opt.data.num_classes, opt.arch.impl_sdf.proj_latent_dim))
+        batch_stats = {
+            "encoder": v_enc.get("batch_stats", {}),
+            "estimator": v_est.get("batch_stats", {}),
+            "latent_proj_shape": v_ps.get("batch_stats", {}),
+            "latent_proj_rgb": v_pr.get("batch_stats", {}),
+        }
+        return {"params": params, "batch_stats": batch_stats}
+
+    # --------------------------------------------------------------- helpers
+    def _apply_bn(self, module, params, stats, args, train, bn_eval):
+        """Apply a BN-bearing module; returns (out, new_stats)."""
+        variables = {"params": params, "batch_stats": stats}
+        if train and not bn_eval:
+            out, mut = module.apply(variables, *args, train=True,
+                                    mutable=["batch_stats"])
+            return out, mut["batch_stats"]
+        out = module.apply(variables, *args, train=False)
+        return out, stats
+
+    def pred_pose(self, params, stats, images, train, bn_eval):
+        """Estimator -> (pose [B,3,4], intr, scale_dist, trig tuple, new_stats).
+
+        Rotation composed as Rz·Rx·Ry·R_permute with z-translation
+        dist·scale_dist (reference `model/graph.py:267-293`).
+        """
+        opt = self.opt
+        est, new_stats = self._apply_bn(self.estimator, params["estimator"],
+                                        stats["estimator"], (images,),
+                                        train, bn_eval)
+        Ry = camera.azim_to_rotation_matrix(est.trig_azim, "trig")
+        Rx = camera.elev_to_rotation_matrix(est.trig_elev, "trig")
+        Rz = camera.roll_to_rotation_matrix(est.trig_theta, "trig")
+        R = Rz @ Rx @ Ry @ R_PERMUTE[None]
+        pose_R = camera.pose(R=R)
+        trans_z = est.scale_dist * opt.camera.dist
+        trans = jnp.stack([jnp.zeros_like(trans_z), jnp.zeros_like(trans_z),
+                           trans_z], axis=-1)
+        pose_T = camera.pose(t=trans)
+        pose = camera.compose([pose_R, pose_T])
+        intr = camera.get_intr(opt, est.scale_focal)
+        return pose, intr, est, new_stats
+
+    def encode(self, params, stats, images, train, bn_eval):
+        """Image -> (proj_latent_sdf, proj_latent_rgb, latent_raw, new_stats)."""
+        opt = self.opt
+        latent_raw, s_enc = self._apply_bn(
+            self.encoder, params["encoder"], stats["encoder"], (images,),
+            train, bn_eval)
+        latent_shape = latent_raw[:, :opt.arch.latent_dim_shape]
+        latent_rgb = latent_raw[:, opt.arch.latent_dim_shape:]
+        proj_sdf, s_ps = self._apply_bn(
+            self.latent_proj_shape, params["latent_proj_shape"],
+            stats["latent_proj_shape"], (latent_shape,), train, bn_eval)
+        proj_rgb, s_pr = self._apply_bn(
+            self.latent_proj_rgb, params["latent_proj_rgb"],
+            stats["latent_proj_rgb"], (latent_rgb,), train, bn_eval)
+        new_stats = dict(stats)
+        new_stats.update(encoder=s_enc, latent_proj_shape=s_ps,
+                         latent_proj_rgb=s_pr)
+        return proj_sdf, proj_rgb, latent_raw, new_stats
+
+    def render(self, params, pose, intr, scale_dist, proj_sdf, proj_rgb,
+               ray_idx, rng, training, visualize=False):
+        return renderlib.render(
+            self.opt, self.sdf_network.apply, self.rgb_network.apply, params,
+            pose, intr, scale_dist, proj_sdf, proj_rgb, ray_idx=ray_idx,
+            rng=rng, training=training, visualize=visualize)
+
+    # --------------------------------------------------------------- forward
+    def forward(self, params, stats, var, rng, training=False, get_loss=True,
+                bn_eval=False, visualize=False):
+        """Full forward. `var` is an EasyDict batch; returns (var, loss,
+        new_stats) with reconstruction fields added.
+
+        Reference `model/graph.py:68-112`.
+        """
+        opt = self.opt
+        var = edict(var)
+        rng_render, rng_nn, rng_nn_render = (
+            jax.random.split(rng, 3) if rng is not None else (None, None, None))
+        ray_idx = var.get("ray_idx") if (opt.render.rand_sample and training) \
+            else None
+
+        if "latent" in var:  # pretraining injects random latents
+            latent_raw = var.latent
+            latent_shape = latent_raw[:, :opt.arch.latent_dim_shape]
+            latent_rgb = latent_raw[:, opt.arch.latent_dim_shape:]
+            proj_sdf, s_ps = self._apply_bn(
+                self.latent_proj_shape, params["latent_proj_shape"],
+                stats["latent_proj_shape"], (latent_shape,), training, bn_eval)
+            proj_rgb, s_pr = self._apply_bn(
+                self.latent_proj_rgb, params["latent_proj_rgb"],
+                stats["latent_proj_rgb"], (latent_rgb,), training, bn_eval)
+            new_stats = dict(stats)
+            new_stats.update(latent_proj_shape=s_ps, latent_proj_rgb=s_pr)
+        else:
+            proj_sdf, proj_rgb, latent_raw, new_stats = self.encode(
+                params, stats, var.rgb_input_map, training, bn_eval)
+        var.proj_latent_sdf, var.proj_latent_rgb = proj_sdf, proj_rgb
+
+        pose, intr, est, s_est = self.pred_pose(
+            params, new_stats, var.rgb_input_map, training, bn_eval)
+        new_stats = dict(new_stats)
+        new_stats["estimator"] = s_est
+        var.pose, var.intr, var.scale_dist = pose, intr, est.scale_dist
+        var.trig_azim, var.trig_elev, var.trig_theta = (
+            est.trig_azim, est.trig_elev, est.trig_theta)
+        var.scale_focal = est.scale_focal
+
+        # canonicalize the supervision normal map
+        normal_sup = var.get("normal_gt", var.get("normal_input"))
+        if normal_sup is not None:
+            var.normal_transformed = camera.transform_normal(normal_sup, pose)
+
+        out = self.render(params, pose, intr, est.scale_dist, proj_sdf,
+                          proj_rgb, ray_idx, rng_render, training,
+                          visualize=visualize)
+        var.rgb_recon, var.mask_recon = out.rgb, out.mask
+        var.mask_hard, var.depth_recon = out.mask_hard, out.depth
+        var.normal_recon, var.grad_eikonal = out.normal, out.grad_eikonal
+        if visualize:
+            var.rendering_points = out.extras["points"]
+            var.rendering_transparency = out.extras["transparency"]
+            var.rendering_rgb = out.extras["rgb_samples"]
+
+        if not (opt.render.rand_sample and training):
+            B = var.rgb_recon.shape[0]
+            var.rgb_recon_map = var.rgb_recon.reshape(B, opt.H, opt.W, 3)
+            var.mask_recon_map = var.mask_recon.reshape(B, opt.H, opt.W, 1)
+            var.mask_hard_map = var.mask_hard.reshape(B, opt.H, opt.W, 1)
+            var.normal_recon_map = var.normal_recon.reshape(B, opt.H, opt.W, 3)
+            if normal_sup is not None:
+                var.normal_transformed_map = var.normal_transformed.reshape(
+                    B, opt.H, opt.W, 3)
+
+        nn_active = ((opt.loss_weight.get("nearest_img") is not None
+                      or opt.loss_weight.get("nearest_mask") is not None)
+                     and training and "rgb_input_map_NN" in var)
+        if nn_active:
+            new_stats = self.forward_NN(params, new_stats, var, rng_nn,
+                                        rng_nn_render, training, bn_eval)
+
+        loss = None
+        if get_loss:
+            loss = self.compute_loss(params, new_stats, var, training, bn_eval)
+        return var, loss, new_stats
+
+    # ------------------------------------------------------------- NN branch
+    def forward_NN(self, params, stats, var, rng_select, rng_render,
+                   training, bn_eval):
+        """CLIP nearest-neighbor consistency branch (reference
+        `model/graph.py:114-218`). NN tensors are stacked [B, K, ...]."""
+        opt = self.opt
+        K = opt.data.k_nearest
+        V = opt.reg.n_views
+        assert V <= K
+        B = var.rgb_input_map.shape[0]
+
+        # IoU-scored selection weights (no gradient)
+        cur_masks = jax.lax.stop_gradient(
+            var.mask_input_NN.reshape(B, K, -1))          # [B,K,N]
+        inp_mask = jax.lax.stop_gradient(
+            var.mask_input.reshape(B, 1, -1))
+        inter = jnp.sum(cur_masks * inp_mask, axis=-1)
+        union = jnp.sum(cur_masks + inp_mask - cur_masks * inp_mask + 1e-8,
+                        axis=-1)
+        scores = (1.0 - inter / union) ** opt.reg.sample_temp  # [B,K]
+        # Gumbel top-k == weighted sampling without replacement
+        logp = jnp.log(jnp.maximum(scores, 1e-20))
+        gumbel = -jnp.log(-jnp.log(
+            jax.random.uniform(rng_select, (B, K), minval=1e-20, maxval=1.0)))
+        _, idx_NN = jax.lax.top_k(logp + gumbel, V)        # [B,V]
+
+        def take(arr, v):
+            # arr: [B, K, ...] -> [B, ...] at per-sample index idx_NN[:, v]
+            idx = idx_NN[:, v]
+            return jnp.take_along_axis(
+                arr, idx.reshape(B, *([1] * (arr.ndim - 1))), axis=1)[:, 0]
+
+        rngs_r = (jax.random.split(rng_render, V) if rng_render is not None
+                  else [None] * V)
+        for v in range(V):
+            sel = edict()
+            for key in ("rgb_input_map", "mask_input_map", "normal_input_map",
+                        "rgb_input", "mask_input", "normal_input"):
+                sel[key] = take(var[f"{key}_NN"], v)
+            if opt.render.rand_sample and training and "ray_idx_NN" in var:
+                sel.ray_idx = take(var.ray_idx_NN, v)
+            if "pose_gt_NN" in var:
+                sel.pose_gt = take(var.pose_gt_NN, v)
+            var[f"input_NN_{v}"] = sel
+
+            # re-encode the NN image for its RGB latent; the SDF latent stays
+            # the QUERY's (cross-instance shape consistency)
+            latent_NN, s_enc = self._apply_bn(
+                self.encoder, params["encoder"], stats["encoder"],
+                (sel.rgb_input_map,), training, bn_eval)
+            latent_rgb_NN = latent_NN[:, opt.arch.latent_dim_shape:]
+            proj_rgb_NN, s_pr = self._apply_bn(
+                self.latent_proj_rgb, params["latent_proj_rgb"],
+                stats["latent_proj_rgb"], (latent_rgb_NN,), training, bn_eval)
+            var.proj_latent_rgb_NN = proj_rgb_NN
+
+            pose_NN, intr_NN, est_NN, s_est = self.pred_pose(
+                params, stats, sel.rgb_input_map, training, bn_eval)
+            var[f"pose_NN_{v}"] = pose_NN
+            var[f"intr_NN_{v}"] = intr_NN
+            var[f"scale_dist_NN_{v}"] = est_NN.scale_dist
+
+            ray_idx = sel.get("ray_idx") if (opt.render.rand_sample
+                                             and training) else None
+            out = self.render(params, pose_NN, intr_NN, est_NN.scale_dist,
+                              var.proj_latent_sdf, proj_rgb_NN, ray_idx,
+                              rngs_r[v], training)
+            var[f"rgb_recon_NN_{v}"] = out.rgb
+            var[f"mask_recon_NN_{v}"] = out.mask
+            var[f"depth_recon_NN_{v}"] = out.depth
+            var[f"normal_recon_NN_{v}"] = out.normal
+
+            stats = dict(stats)
+            stats.update(encoder=s_enc, latent_proj_rgb=s_pr, estimator=s_est)
+        return stats
+
+    # ----------------------------------------------------------------- loss
+    def compute_loss(self, params, stats, var, training, bn_eval=False):
+        """Loss assembly gated by opt.loss_weight.* (reference
+        `model/graph.py:220-265`)."""
+        opt = self.opt
+        lw = opt.loss_weight
+        loss = edict()
+        B = var.rgb_recon.shape[0]
+        cat_w = var.get("category_weight")
+        w3 = cat_w.reshape(B, 1, 1) if cat_w is not None else None
+
+        if lw.get("render") is not None:
+            target = var.get("rgb_gt", var.get("rgb_input"))
+            loss.render = L.mse_loss(var.rgb_recon, target, weight=w3)
+        if lw.get("mask") is not None:
+            target = var.get("mask_gt", var.get("mask_input"))
+            loss.mask = L.mask_loss(var.mask_recon, target,
+                                    mask_mse=opt.reg.mask_mse, weight=w3)
+        if lw.get("normal") is not None:
+            mask_sup = var.get("mask_gt", var.get("mask_input")) > 0.5
+            mask_pred = var.mask_recon > 0.5
+            loss.normal = L.normal_loss(
+                var.normal_recon, var.normal_transformed,
+                mask_sup & mask_pred, normal_l1=opt.reg.normal_l1,
+                weight=w3, tolerance=opt.reg.normal_tol)
+        if lw.get("eikonal") is not None and training:
+            loss.eikonal = L.mse_loss(
+                var.grad_eikonal.reshape(B, -1), 1.0,
+                weight=cat_w.reshape(B, 1) if cat_w is not None else None)
+        if lw.get("cam_margin") is not None and training:
+            loss.cam_margin = L.cam_margin_loss(opt, var.trig_elev,
+                                                var.trig_theta)
+        if lw.get("cam_uniform") is not None and training:
+            loss.cam_uniform = L.cam_uniform_loss(var.trig_azim,
+                                                  emd_p=opt.reg.emd_p)
+        if lw.get("cam_sym") is not None and training:
+            flipped = var.rgb_input_map[:, :, ::-1, :]
+            est_f, _ = self._apply_bn(
+                self.estimator, params["estimator"], stats["estimator"],
+                (flipped,), False, True)  # no BN update on the flipped pass
+            loss.cam_sym = L.cam_sym_loss(
+                (var.trig_azim, var.trig_elev, var.trig_theta),
+                (est_f.trig_azim, est_f.trig_elev, est_f.trig_theta))
+        if lw.get("category_reg") is not None and training:
+            loss.category_reg = L.category_reg_loss(
+                var.proj_latent_sdf, params["category_centers"],
+                var.category_label)
+        if lw.get("nearest_img") is not None and training and "rgb_recon_NN_0" in var:
+            loss.nearest_img = sum(
+                L.mse_loss(var[f"rgb_recon_NN_{v}"],
+                           var[f"input_NN_{v}"].rgb_input, weight=w3)
+                for v in range(opt.reg.n_views))
+        if lw.get("nearest_mask") is not None and training and "mask_recon_NN_0" in var:
+            loss.nearest_mask = sum(
+                L.mask_loss(var[f"mask_recon_NN_{v}"],
+                            var[f"input_NN_{v}"].mask_input,
+                            mask_mse=opt.reg.mask_mse, weight=w3)
+                for v in range(opt.reg.n_views))
+        if lw.get("nearest_normal") is not None and training and "normal_recon_NN_0" in var:
+            total = 0.0
+            for v in range(opt.reg.n_views):
+                sel = var[f"input_NN_{v}"]
+                mask_sup = sel.mask_input > 0.5
+                mask_pred = var[f"mask_recon_NN_{v}"] > 0.5
+                total = total + L.normal_loss(
+                    var[f"normal_recon_NN_{v}"],
+                    camera.transform_normal(sel.normal_input,
+                                            var[f"pose_NN_{v}"]),
+                    mask_sup & mask_pred, normal_l1=opt.reg.normal_l1,
+                    weight=w3, tolerance=opt.reg.normal_tol)
+            loss.nearest_normal = total
+        return loss
+
+    # -------------------------------------------------------- rotating poses
+    def get_rotate_pose(self, n_views=50):
+        """[n_views, 3, 4] azimuth-rotating poses for visualization
+        (reference `model/graph.py:296-321`)."""
+        opt = self.opt
+        ranges = opt.data[opt.data.dataset]
+        angle_azim = jnp.linspace(0, 2, n_views)[:, None] * jnp.pi
+        mean_elev = (jnp.zeros((n_views, 1))
+                     + (ranges.elev_range[1] + ranges.elev_range[0]) / 2 + 15)
+        mean_theta = (jnp.zeros((n_views, 1))
+                      + (ranges.theta_range[1] + ranges.theta_range[0]) / 2)
+        angle_elev = mean_elev * jnp.pi / 180
+        angle_theta = mean_theta * jnp.pi / 180
+        trig_azim = jnp.concatenate([jnp.cos(angle_azim), jnp.sin(angle_azim)], 1)
+        trig_elev = jnp.concatenate([jnp.cos(angle_elev), jnp.sin(angle_elev)], 1)
+        trig_theta = jnp.concatenate([jnp.cos(angle_theta), jnp.sin(angle_theta)], 1)
+        Ry = camera.azim_to_rotation_matrix(trig_azim, "trig")
+        Rx = camera.elev_to_rotation_matrix(trig_elev, "trig")
+        Rz = camera.roll_to_rotation_matrix(trig_theta, "trig")
+        R = Rz @ Rx @ Ry @ R_PERMUTE[None]
+        pose = camera.pose(R=R)
+        pose_cam = camera.pose(t=jnp.array([0.0, 0.0, float(opt.camera.dist)]))
+        return camera.compose([pose, jnp.broadcast_to(pose_cam, pose.shape)])
+
+
+def summarize_loss(opt, loss, non_act_loss_keys=()):
+    """Weighted sum of loss terms; inactive keys contribute 0 but stay in the
+    dict (reference `model/runner.py:294-305`). NaN/Inf asserts become a
+    `loss_finite` flag the host checks asynchronously."""
+    loss = edict(loss)
+    assert "all" not in loss
+    loss_all = 0.0
+    finite = jnp.array(True)
+    for key in list(loss.keys()):
+        assert key in opt.loss_weight, key
+        if opt.loss_weight[key] is not None:
+            term = jnp.mean(loss[key])
+            finite = finite & jnp.isfinite(term)
+            if key not in non_act_loss_keys:
+                loss_all = loss_all + float(opt.loss_weight[key]) * term
+    loss.all = loss_all
+    loss.finite = finite
+    return loss

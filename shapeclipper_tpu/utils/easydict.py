@@ -62,6 +62,20 @@ class EasyDict(dict):
         return out
 
 
+# Register as a JAX pytree so jit'd functions can take/return EasyDicts
+# (batches, loss dicts, var dicts). Same key-sorted layout as plain dict.
+try:
+    import jax
+
+    jax.tree_util.register_pytree_node(
+        EasyDict,
+        lambda d: (tuple(d[k] for k in sorted(d)), tuple(sorted(d))),
+        lambda keys, values: EasyDict(zip(keys, values)),
+    )
+except ImportError:  # pragma: no cover - jax always present in this repo
+    pass
+
+
 def to_plain_dict(d):
     """Recursively convert EasyDict (and nested) back to plain dicts for YAML dump."""
     if isinstance(d, dict):
