@@ -1,0 +1,144 @@
+"""3D evaluation: dense SDF grid -> isosurface -> Chamfer-L1 + F-score.
+
+Port of the reference eval (reference `utils/eval_3D.py`). Host/device
+choreography, TPU-first:
+  * the (vox_res+1)^3 SDF grid evaluates on device in bounded chunks
+    (one jit'd scan — no per-row python loop like the reference's
+    `compute_level_grid`, `utils/eval_3D.py:20-38`)
+  * only the scalar grid (~4 MB fp32 at vox 100) transfers to host for
+    isosurface extraction + surface sampling
+  * point-cloud rotation/normalization and the Pallas Chamfer kernel +
+    F-score run back on device
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.chamfer import chamfer_distance_sq
+from . import isosurface
+
+# view-centric frame axis flips for Pix3D (reference `utils/eval_3D.py:78-90`)
+R_TRANS_PRED_PIX3D = np.diag([1.0, -1.0, -1.0]).astype(np.float32)
+R_TRANS_GT_PIX3D = np.diag([-1.0, 1.0, 1.0]).astype(np.float32)
+
+
+def dense_grid_points(opt, N=None):
+    """[(N+1)^3, 3] lattice over opt.eval.range (reference
+    `utils/eval_3D.py:8-18`)."""
+    N = N or opt.eval.vox_res
+    range_min, range_max = opt.eval.range
+    grid = jnp.linspace(range_min, range_max, N + 1)
+    pts = jnp.stack(jnp.meshgrid(grid, grid, grid, indexing="ij"), axis=-1)
+    return pts.reshape(-1, 3)
+
+
+@partial(jax.jit, static_argnames=("sdf_apply", "n_chunks"))
+def _eval_grid_chunked(sdf_apply, params_sdf, points, latent, n_chunks):
+    """points: [P, 3] (P divisible by n_chunks), latent: [B, C] ->
+    sdf [B, P]. Scans over chunks to bound peak activation memory."""
+    B = latent.shape[0]
+    P = points.shape[0]
+    chunk = P // n_chunks
+    pts = points.reshape(n_chunks, chunk, 3)
+
+    def body(carry, pts_chunk):
+        p = jnp.broadcast_to(pts_chunk[None], (B, chunk, 3))
+        lat = jnp.broadcast_to(latent[:, None, :], (B, chunk, latent.shape[-1]))
+        out = sdf_apply({"params": params_sdf}, p, lat)
+        return carry, out[..., 0]
+
+    _, sdf = jax.lax.scan(body, None, pts)          # [n_chunks, B, chunk]
+    return jnp.moveaxis(sdf, 1, 0).reshape(B, P)
+
+
+def compute_level_grid(opt, sdf_apply, params_sdf, proj_latent_sdf, N=None):
+    """[B, (N+1)^3] SDF values -> reshaped [B, N+1, N+1, N+1]."""
+    N = N or opt.eval.vox_res
+    pts = dense_grid_points(opt, N)
+    P = pts.shape[0]
+    # chunk to ~128k points
+    n_chunks = 1
+    while P // n_chunks > 131072 or P % n_chunks:
+        n_chunks += 1
+    sdf = _eval_grid_chunked(sdf_apply, params_sdf, pts, proj_latent_sdf,
+                             n_chunks)
+    return sdf.reshape(-1, N + 1, N + 1, N + 1)
+
+
+def normalize_pc(pc):
+    """Zero-mean, XY-extent-max normalization (reference
+    `utils/eval_3D.py:40-49`)."""
+    pc_mean = pc.mean(axis=1, keepdims=True)
+    pc_z = pc - pc_mean
+    length_x = pc_z[:, :, 0].max(-1) - pc_z[:, :, 0].min(-1)
+    length_y = pc_z[:, :, 1].max(-1) - pc_z[:, :, 1].min(-1)
+    length_max = jnp.maximum(length_x, length_y)[:, None, None]
+    return pc_z / (length_max + 1e-7)
+
+
+def compute_fscore(dist1, dist2, thresholds):
+    """dist*: [B, N] (L1); F = 2PR/(P+R) with nan->0
+    (reference `utils/eval_3D.py:105-121`)."""
+    fscores = []
+    for threshold in thresholds:
+        precision = jnp.mean((dist1 < threshold).astype(jnp.float32), axis=1)
+        recall = jnp.mean((dist2 < threshold).astype(jnp.float32), axis=1)
+        f = 2 * precision * recall / (precision + recall)
+        fscores.append(jnp.nan_to_num(f, nan=0.0))
+    return jnp.stack(fscores, axis=1)
+
+
+def extract_meshes_and_pointclouds(opt, level_grids, rng=None):
+    """Host: isosurface + area-weighted resampling per batch element."""
+    meshes, clouds = [], []
+    range_min, range_max = opt.eval.range
+    for level in np.asarray(level_grids):
+        mesh = isosurface.marching_cubes_world(level, range_min, range_max,
+                                               isovalue=0.0)
+        meshes.append(mesh)
+        clouds.append(isosurface.sample_surface(mesh, opt.eval.num_points,
+                                                rng=rng))
+    return meshes, np.stack(clouds, axis=0)
+
+
+@jax.jit
+def _rotate_and_normalize_pix3d(dpc_pred, dpc_gt, pose, pose_gt):
+    R_pred = pose[..., :3]
+    R_gt = pose_gt[..., :3]
+    pred = jnp.einsum("bij,bnj->bni", R_pred, dpc_pred)
+    gt = jnp.einsum("bij,bnj->bni", R_gt, dpc_gt)
+    pred = jnp.einsum("ij,bnj->bni", jnp.asarray(R_TRANS_PRED_PIX3D), pred)
+    gt = jnp.einsum("ij,bnj->bni", jnp.asarray(R_TRANS_GT_PIX3D), gt)
+    return normalize_pc(pred), normalize_pc(gt)
+
+
+def eval_metrics(opt, var, sdf_apply, params_sdf, vis_only=False, rng=None):
+    """Full metric evaluation for one batch (reference
+    `utils/eval_3D.py:52-103`). Mutates `var` with mesh_pred/dpc_pred/
+    f_score/cd_acc/cd_comp; returns (dist_acc_mean, dist_comp_mean)."""
+    level = compute_level_grid(opt, sdf_apply, params_sdf,
+                               var.proj_latent_sdf)     # [B, S, S, S]
+    meshes, clouds = extract_meshes_and_pointclouds(
+        opt, jax.device_get(level), rng=rng)
+    var.mesh_pred = meshes
+    var.dpc_pred = jnp.asarray(clouds)
+
+    dpc_gt = var.dpc_points
+    pred, gt = _rotate_and_normalize_pix3d(var.dpc_pred, dpc_gt,
+                                           var.pose, var.pose_gt)
+    var.dpc_pred_normalized = pred
+    var.dpc_gt_normalized = gt
+    if vis_only:
+        return None
+
+    d1_sq, d2_sq, _, _ = chamfer_distance_sq(pred, gt)
+    dist_acc, dist_comp = jnp.sqrt(d1_sq), jnp.sqrt(d2_sq)
+    var.f_score = compute_fscore(dist_acc, dist_comp, opt.eval.f_thresholds)
+    var.cd_acc = dist_acc.mean(axis=1)
+    var.cd_comp = dist_comp.mean(axis=1)
+    return float(dist_acc.mean()), float(dist_comp.mean())

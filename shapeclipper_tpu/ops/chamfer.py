@@ -1,0 +1,180 @@
+"""Brute-force bidirectional nearest-neighbor (Chamfer) distance — Pallas TPU.
+
+TPU-native replacement for the reference CUDA kernel
+(`external/chamfer3D/chamfer3D.cu:12-196` + autograd wrapper
+`external/chamfer3D/dist_chamfer_3D.py`): per-point min squared distance and
+argmin index in both directions, with a custom VJP.
+
+Design (MXU-friendly): coordinates are padded 3 -> 8 on the feature axis and
+the [T1, T2] cross-distance tile is computed as |x2|^2 - 2·x1@x2ᵀ on the MXU
+(|x1|^2 is a constant per row — added at the end), with a running (min,
+argmin) over x2 tiles held in VMEM. The backward pass needs no atomics: the
+x1-side gradient is a pure gather of x2[argmin]; the x2-side scatter is a
+segment-sum (reference used atomicAdd, `chamfer3D.cu:155-174`).
+
+Pallas runs `interpret=True` off-TPU so the same kernel is unit-tested on CPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_N1 = 512       # rows of cloud A processed per grid step
+TILE_N2 = 2048      # columns of cloud B per inner loop iteration
+PAD_D = 8           # coordinate dim padded for lane alignment
+BIG = 1e30
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _nn_kernel(x1_ref, x2_ref, dist_ref, idx_ref):
+    """One [TILE_N1, PAD_D] tile of A vs all of B (VMEM resident).
+
+    x1_ref: [TILE_N1, PAD_D]; x2_ref: [N2pad, PAD_D];
+    dist_ref/idx_ref: [TILE_N1]... stored as [1, TILE_N1] blocks.
+    """
+    x1 = x1_ref[:]                                     # [T1, D]
+    n2 = x2_ref.shape[0]
+    num_tiles = n2 // TILE_N2
+
+    x1_sq = jnp.sum(x1 * x1, axis=-1, keepdims=True)   # [T1, 1]
+
+    def body(t, carry):
+        best_d, best_i = carry
+        x2 = x2_ref[pl.ds(t * TILE_N2, TILE_N2), :]    # [T2, D]
+        x2_sq = jnp.sum(x2 * x2, axis=-1)              # [T2]
+        cross = jax.lax.dot_general(
+            x1, x2,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [T1, T2]
+        d = x2_sq[None, :] - 2.0 * cross               # [T1, T2] (+|x1|^2 later)
+        local_min = jnp.min(d, axis=1)                 # [T1]
+        local_arg = jnp.argmin(d, axis=1).astype(jnp.int32) + t * TILE_N2
+        take = local_min < best_d
+        return (jnp.where(take, local_min, best_d),
+                jnp.where(take, local_arg, best_i))
+
+    init = (jnp.full((x1.shape[0],), BIG, jnp.float32),
+            jnp.zeros((x1.shape[0],), jnp.int32))
+    best_d, best_i = jax.lax.fori_loop(0, num_tiles, body, init)
+    # outputs are [8, TILE_N1] blocks (sublane-aligned); row 0 is the result
+    dist_ref[:] = jnp.broadcast_to(
+        jnp.maximum(best_d + x1_sq[:, 0], 0.0)[None, :], dist_ref.shape)
+    idx_ref[:] = jnp.broadcast_to(best_i[None, :], idx_ref.shape)
+
+
+def _nn_one_direction(x1, x2, interpret):
+    """x1: [N1, 3], x2: [N2, 3] (single cloud) -> (dist [N1], idx [N1])."""
+    n1, n2 = x1.shape[0], x2.shape[0]
+    n1p = _round_up(max(n1, 8), TILE_N1)
+    n2p = _round_up(max(n2, 8), TILE_N2)
+    x1p = jnp.zeros((n1p, PAD_D), x1.dtype).at[:n1, :3].set(x1)
+    # padded B points pushed far away so they are never the argmin
+    x2p = jnp.full((n2p, PAD_D), 0.0, x2.dtype)
+    x2p = x2p.at[:n2, :3].set(x2)
+    x2p = x2p.at[n2:, 0].set(1e15)
+
+    grid = (n1p // TILE_N1,)
+    dist, idx = pl.pallas_call(
+        _nn_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_N1, PAD_D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2p, PAD_D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((8, TILE_N1), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE_N1), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((8, n1p), jnp.float32),
+            jax.ShapeDtypeStruct((8, n1p), jnp.int32),
+        ),
+        interpret=interpret,
+    )(x1p, x2p)
+    return dist[0, :n1], idx[0, :n1]
+
+
+def _use_interpret():
+    return jax.default_backend() != "tpu"
+
+
+@jax.custom_vjp
+def chamfer_distance_sq(x1, x2):
+    """Bidirectional squared NN distance.
+
+    x1: [B, N1, 3], x2: [B, N2, 3] ->
+      (dist1 [B, N1], dist2 [B, N2], idx1 [B, N1] int32, idx2 [B, N2] int32)
+
+    Matches `chamfer_3D.forward` (squared distances; callers sqrt for
+    Chamfer-L1, reference `utils/eval_3D.py:155-165`).
+    """
+    return _chamfer_forward(x1, x2)
+
+
+def _chamfer_forward(x1, x2):
+    interpret = _use_interpret()
+    fwd = partial(_nn_one_direction, interpret=interpret)
+    d1, i1 = jax.vmap(fwd)(x1, x2)
+    d2, i2 = jax.vmap(fwd)(x2, x1)
+    return d1, d2, i1, i2
+
+
+def _chamfer_fwd(x1, x2):
+    out = _chamfer_forward(x1, x2)
+    d1, d2, i1, i2 = out
+    return out, (x1, x2, i1, i2)
+
+
+def _chamfer_bwd(res, g):
+    """d1_i = |x1_i - x2_{i1_i}|^2 -> dx1_i += 2 g1_i (x1_i - x2_{i1_i}),
+    dx2 gets the scatter (segment-sum); symmetric for direction 2."""
+    x1, x2, i1, i2 = res
+    g1, g2, _, _ = g
+    B, N1, _ = x1.shape
+    N2 = x2.shape[1]
+
+    x2_at = jnp.take_along_axis(x2, i1[..., None], axis=1)    # [B,N1,3]
+    diff1 = x1 - x2_at
+    dx1 = 2.0 * g1[..., None] * diff1
+    dx2_scatter = jax.vmap(
+        lambda seg, idx: jax.ops.segment_sum(seg, idx, num_segments=N2)
+    )(-2.0 * g1[..., None] * diff1, i1)
+
+    x1_at = jnp.take_along_axis(x1, i2[..., None], axis=1)    # [B,N2,3]
+    diff2 = x2 - x1_at
+    dx2 = 2.0 * g2[..., None] * diff2 + dx2_scatter
+    dx1_scatter = jax.vmap(
+        lambda seg, idx: jax.ops.segment_sum(seg, idx, num_segments=N1)
+    )(-2.0 * g2[..., None] * diff2, i2)
+    return dx1 + dx1_scatter, dx2
+
+
+chamfer_distance_sq.defvjp(_chamfer_fwd, _chamfer_bwd)
+
+
+def chamfer_distance_sq_reference(x1, x2):
+    """O(N^2) jnp reference (memory-heavy; for tests on small clouds)."""
+    d = jnp.sum((x1[:, :, None, :] - x2[:, None, :, :]) ** 2, axis=-1)
+    return (jnp.min(d, 2), jnp.min(d, 1),
+            jnp.argmin(d, 2).astype(jnp.int32),
+            jnp.argmin(d, 1).astype(jnp.int32))
+
+
+def chamfer_distance(opt, X1, X2):
+    """Chamfer-L1 distances (sqrt of squared NN distance), reference
+    `utils/eval_3D.py:155-165`."""
+    d1, d2, i1, i2 = chamfer_distance_sq(X1, X2)
+    return jnp.sqrt(d1), jnp.sqrt(d2), i1, i2

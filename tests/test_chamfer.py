@@ -1,0 +1,83 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shapeclipper_tpu.ops.chamfer import (chamfer_distance_sq,
+                                          chamfer_distance_sq_reference)
+
+
+def _rand_clouds(key=0, B=2, N1=100, N2=130):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(key))
+    x1 = jax.random.normal(k1, (B, N1, 3))
+    x2 = jax.random.normal(k2, (B, N2, 3))
+    return x1, x2
+
+
+def test_chamfer_matches_reference():
+    x1, x2 = _rand_clouds()
+    d1, d2, i1, i2 = chamfer_distance_sq(x1, x2)
+    rd1, rd2, ri1, ri2 = chamfer_distance_sq_reference(x1, x2)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(rd1), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(rd2), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(ri1))
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(ri2))
+
+
+def test_chamfer_identical_clouds_zero():
+    x1, _ = _rand_clouds()
+    d1, d2, i1, i2 = chamfer_distance_sq(x1, x1)
+    np.testing.assert_allclose(np.asarray(d1), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2), 0.0, atol=1e-5)
+    # argmin = self
+    np.testing.assert_array_equal(np.asarray(i1)[0],
+                                  np.arange(x1.shape[1]))
+
+
+def test_chamfer_tile_boundaries():
+    # N larger than one tile in both directions exercises the fori_loop
+    x1, x2 = _rand_clouds(key=3, B=1, N1=600, N2=2100)
+    d1, d2, i1, i2 = chamfer_distance_sq(x1, x2)
+    rd1, rd2, _, _ = chamfer_distance_sq_reference(x1, x2)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(rd1), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(rd2), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_chamfer_gradient_matches_reference():
+    x1, x2 = _rand_clouds(key=4, B=1, N1=40, N2=50)
+
+    def loss_pallas(a, b):
+        d1, d2, _, _ = chamfer_distance_sq(a, b)
+        return d1.mean() + d2.mean()
+
+    def loss_ref(a, b):
+        d1, d2, _, _ = chamfer_distance_sq_reference(a, b)
+        return d1.mean() + d2.mean()
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1))(x1, x2)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(x1, x2)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_chamfer_gradient_finite_difference():
+    x1, x2 = _rand_clouds(key=5, B=1, N1=12, N2=15)
+
+    def loss(a):
+        d1, d2, _, _ = chamfer_distance_sq(a, x2)
+        return d1.sum() + d2.sum()
+
+    g = jax.grad(loss)(x1)
+    eps = 1e-3
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        i, j = rng.randint(12), rng.randint(3)
+        dp = jnp.zeros_like(x1).at[0, i, j].set(eps)
+        fd = (loss(x1 + dp) - loss(x1 - dp)) / (2 * eps)
+        np.testing.assert_allclose(float(g[0, i, j]), float(fd), rtol=1e-2,
+                                   atol=1e-2)
