@@ -220,8 +220,10 @@ class Graph:
             var.mask_hard_map = var.mask_hard.reshape(B, opt.H, opt.W, 1)
             var.normal_recon_map = var.normal_recon.reshape(B, opt.H, opt.W, 3)
             if normal_sup is not None:
+                # data resolution, not render resolution (reference
+                # `model/graph.py:101` uses opt.image_size here)
                 var.normal_transformed_map = var.normal_transformed.reshape(
-                    B, opt.H, opt.W, 3)
+                    B, opt.image_size[0], opt.image_size[1], 3)
 
         nn_active = ((opt.loss_weight.get("nearest_img") is not None
                       or opt.loss_weight.get("nearest_mask") is not None)

@@ -54,7 +54,8 @@ def _nn_kernel(x1_ref, x2_ref, dist_ref, idx_ref):
         cross = jax.lax.dot_general(
             x1, x2,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # [T1, T2]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)       # [T1, T2]
         d = x2_sq[None, :] - 2.0 * cross               # [T1, T2] (+|x1|^2 later)
         local_min = jnp.min(d, axis=1)                 # [T1]
         local_arg = jnp.argmin(d, axis=1).astype(jnp.int32) + t * TILE_N2
@@ -111,6 +112,56 @@ def _use_interpret():
     return jax.default_backend() != "tpu"
 
 
+def _impl():
+    """'pallas' | 'xla'. XLA is the default: the tiled scan below compiles to
+    MXU matmuls with running min/argmin and measures at HBM-bound speed; the
+    Pallas kernel is kept behind SCL_CHAMFER_IMPL=pallas (some TPU attach
+    modes have very slow Mosaic compile paths)."""
+    import os
+    return os.environ.get("SCL_CHAMFER_IMPL", "xla")
+
+
+def _nn_one_direction_xla(x1, x2, tile1=4096, tile2=16384):
+    """Pure-XLA tiled NN: scan over x1 tiles; inner scan over x2 tiles keeps
+    a running (min, argmin). Peak live tile is [tile1, tile2] fp32."""
+    n1, n2 = x1.shape[0], x2.shape[0]
+    n1p, n2p = _round_up(n1, tile1), _round_up(n2, tile2)
+    x1p = jnp.zeros((n1p, 3), x1.dtype).at[:n1].set(x1)
+    x2p = jnp.full((n2p, 3), 0.0, x2.dtype).at[:n2].set(x2)
+    x2p = x2p.at[n2:, 0].set(1e15)
+    x1t = x1p.reshape(n1p // tile1, tile1, 3)
+    x2t = x2p.reshape(n2p // tile2, tile2, 3)
+
+    def outer(_, a):                                   # a: [tile1, 3]
+        a_sq = jnp.sum(a * a, axis=-1)
+
+        def inner(carry, bt):                          # bt: [tile2, 3]
+            best_d, best_i, offset = carry
+            b_sq = jnp.sum(bt * bt, axis=-1)
+            # HIGHEST: fp32 matmul passes — bf16 default precision is enough
+            # to corrupt the argmin for near-ties
+            cross = jax.lax.dot_general(
+                a, bt, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            d = b_sq[None, :] - 2.0 * cross            # [tile1, tile2]
+            local_min = jnp.min(d, axis=1)
+            local_arg = jnp.argmin(d, axis=1).astype(jnp.int32) + offset
+            take = local_min < best_d
+            return (jnp.where(take, local_min, best_d),
+                    jnp.where(take, local_arg, best_i),
+                    offset + bt.shape[0]), None
+
+        init = (jnp.full((a.shape[0],), BIG, jnp.float32),
+                jnp.zeros((a.shape[0],), jnp.int32),
+                jnp.int32(0))
+        (best_d, best_i, _), _ = jax.lax.scan(inner, init, x2t)
+        return None, (jnp.maximum(best_d + a_sq, 0.0), best_i)
+
+    _, (dist, idx) = jax.lax.scan(outer, None, x1t)
+    return dist.reshape(-1)[:n1], idx.reshape(-1)[:n1]
+
+
 @jax.custom_vjp
 def chamfer_distance_sq(x1, x2):
     """Bidirectional squared NN distance.
@@ -125,8 +176,10 @@ def chamfer_distance_sq(x1, x2):
 
 
 def _chamfer_forward(x1, x2):
-    interpret = _use_interpret()
-    fwd = partial(_nn_one_direction, interpret=interpret)
+    if _impl() == "pallas":
+        fwd = partial(_nn_one_direction, interpret=_use_interpret())
+    else:
+        fwd = _nn_one_direction_xla
     d1, i1 = jax.vmap(fwd)(x1, x2)
     d2, i2 = jax.vmap(fwd)(x2, x1)
     return d1, d2, i1, i2

@@ -1,0 +1,57 @@
+"""Device-mesh data parallelism helpers.
+
+TPU-native replacement for the reference's DDP machinery (reference
+`train.py:34-41`, `utils/util.py:250-255`, `data/base.py:17-19`): a
+single-controller `jax.sharding.Mesh` with the batch axis sharded over a
+'data' axis. Gradient all-reduce is emitted by XLA from sharded autodiff; no
+process groups, rendezvous ports, or samplers.
+
+Multi-host: call `jax.distributed.initialize()` before `make_mesh` and shard
+the host data pipeline with (jax.process_index(), jax.process_count()).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(opt=None, devices=None):
+    """1-D data-parallel mesh over all (or given) devices. `opt.tpu.mesh`
+    may request a specific layout, e.g. {data: 8}."""
+    devices = devices if devices is not None else jax.devices()
+    spec = (opt or {}).get("tpu", {}).get("mesh") if opt is not None else None
+    if spec:
+        assert list(spec.keys()) == ["data"], "only a data axis is used"
+        n = int(spec["data"])
+        devices = devices[:n]
+    return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def replicate_sharding(mesh):
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh):
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(mesh, batch):
+    """Device-put a host batch with the leading axis sharded over 'data'.
+    Scalars/0-d entries are replicated."""
+    data = batch_sharding(mesh)
+    repl = replicate_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim == 0 or x.shape[0] % mesh.size != 0:
+            return jax.device_put(x, repl)
+        return jax.device_put(x, data)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(mesh, tree):
+    return jax.device_put(tree, replicate_sharding(mesh))

@@ -1,0 +1,121 @@
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from shapeclipper_tpu.config import options
+from shapeclipper_tpu.train.trainer import Runner
+from shapeclipper_tpu.utils.easydict import EasyDict as edict
+
+
+def tiny_opt(tmp_path, **over):
+    opt = options.load_options(
+        os.path.join(os.path.dirname(__file__), "..",
+                     "options/pix3d/config.yaml"))
+    opt.update(
+        image_size=[32, 32], batch_size=4, max_epoch=1,
+        output_path=str(tmp_path), seed=0, resume=False, tb=None, load=None)
+    opt.H, opt.W = opt.image_size
+    opt.data.update(dataset="synthetic", num_workers=0, k_nearest=2,
+                    max_img_cat=8)
+    opt.data.synthetic = edict(azim_range=[-180, 180], elev_range=[-90, 90],
+                               theta_range=[-90, 90])
+    opt.render.update(rand_sample=64, n_samples_uniform=16)
+    opt.reg.n_views = 1
+    opt.eval.update(batch_size=2, image_size=[16, 16], vox_res=12,
+                    num_points=512, n_vis=1, n_vis_classes=1)
+    opt.freq.update(scalar=10000, vis=10000, save_vis=10000,
+                    ckpt_latest=10000, eval=10000)
+    opt.tpu.encoder_dtype = "float32"
+    opt.tpu.mesh = {"data": 1}
+    for k, v in over.items():
+        opt[k] = v
+    return opt
+
+
+@pytest.fixture(scope="module")
+def trained_runner(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("train")
+    opt = tiny_opt(tmp)
+    runner = Runner(opt)
+    runner.load_dataset(opt)
+    runner.build_networks(opt)
+    runner.setup_optimizer(opt)
+    runner.restore_checkpoint(opt)
+    return opt, runner
+
+
+def test_train_iterations_decrease_loss(trained_runner):
+    opt, runner = trained_runner
+    runner.ep = 0
+    runner.it = 0
+    runner.best_val = np.inf
+    from shapeclipper_tpu.train.trainer import _batch_to_var
+    from shapeclipper_tpu import parallel
+    losses = []
+    runner.train_loader.set_epoch(0)
+    from shapeclipper_tpu.utils.log import Timer
+    runner.timer = Timer()
+    for epoch in range(6):
+        runner.train_loader.set_epoch(epoch)
+        for batch in runner.train_loader:
+            var = parallel.shard_batch(runner.mesh, _batch_to_var(batch))
+            loss = runner.train_iteration(opt, var)
+            losses.append(float(loss["all"]))
+    assert all(np.isfinite(losses))
+    # render/mask losses should drop over a few epochs of the tiny set
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
+    # all configured loss terms present
+    for key in ("render", "mask", "normal", "eikonal", "cam_uniform",
+                "cam_margin", "cam_sym", "nearest_img", "nearest_mask",
+                "nearest_normal"):
+        assert key in loss, key
+
+
+def test_evaluate_end_to_end(trained_runner):
+    opt, runner = trained_runner
+    val = runner.evaluate(opt, ep=1, training=True)
+    assert np.isfinite(val) and val > 0
+
+
+def test_eval_reports_written(trained_runner, tmp_path):
+    opt, runner = trained_runner
+    runner.evaluate(opt, ep=1, training=False)
+    assert os.path.exists(f"{opt.output_path}/cd_cat.txt")
+    assert os.path.exists(f"{opt.output_path}/f_score.txt")
+    assert os.path.exists(f"{opt.output_path}/chamfer.txt")
+    with open(f"{opt.output_path}/f_score.txt") as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) == len(opt.eval.f_thresholds)
+
+
+def test_checkpoint_save_restore_roundtrip(trained_runner):
+    opt, runner = trained_runner
+    runner.save_checkpoint(opt, ep=1, it=5, best_val=1.0, latest=True)
+    params_before = jax.device_get(runner.params)
+    opt2 = opt.deepcopy()
+    opt2.resume = True
+    runner2 = Runner(opt2)
+    runner2.load_dataset(opt2)
+    runner2.build_networks(opt2)
+    runner2.setup_optimizer(opt2)
+    runner2.restore_checkpoint(opt2)
+    params_after = jax.device_get(runner2.params)
+    a = jax.tree_util.tree_leaves(params_before)
+    b = jax.tree_util.tree_leaves(params_after)
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+    assert runner2.iter_start == 5
+
+
+def test_vis_rotate(trained_runner):
+    opt, runner = trained_runner
+    from shapeclipper_tpu.train.trainer import _batch_to_var
+    from shapeclipper_tpu import parallel
+    batch = next(iter(runner.test_loader))
+    var = parallel.shard_batch(runner.mesh, _batch_to_var(batch))
+    var = runner._eval_forward(runner.params, runner.batch_stats, var)
+    var = runner.vis_rotate(opt, var, n_views=3)
+    assert len(var.rotating_imgs) == 3
+    He, We = runner.graph_eval.opt.H, runner.graph_eval.opt.W
+    assert var.rotating_imgs[0].shape == (2, He, We, 3)
