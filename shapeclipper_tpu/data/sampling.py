@@ -15,7 +15,11 @@ from scipy import ndimage
 def boundary_distance(mask_binary):
     """Distance of every pixel to the fg/bg boundary (0.5-px convention:
     pixels adjacent to the boundary get ~0.5, matching vigra's
-    boundaryDistanceTransform)."""
+    boundaryDistanceTransform). Native C++ EDT when built; scipy fallback."""
+    from ..eval3d import native
+    out = native.boundary_distance(mask_binary)
+    if out is not None:
+        return out
     mask = np.asarray(mask_binary, dtype=bool)
     if mask.all() or (~mask).all():
         # no boundary: uniform large distance

@@ -74,7 +74,16 @@ _CASE_TRIS = [_tet_triangles(c) for c in range(16)]
 
 
 def marching_tetrahedra(level, isovalue=0.0):
-    """level: [N, N, N] scalar field -> Mesh in index coordinates [0, N-1]."""
+    """level: [N, N, N] scalar field -> Mesh in index coordinates [0, N-1].
+
+    Uses the native C++ kernel (native/scl_native.cpp) when built; the
+    vectorized-numpy path below is the always-available fallback and the
+    correctness reference."""
+    from . import native
+    verts = native.marching_tetrahedra(level, isovalue)
+    if verts is not None:
+        faces = np.arange(verts.shape[0], dtype=np.int32).reshape(-1, 3)
+        return Mesh(verts, faces)
     level = np.asarray(level, dtype=np.float32)
     N = level.shape[0]
     assert level.shape == (N, N, N)
