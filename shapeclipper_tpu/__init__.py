@@ -17,3 +17,12 @@ Reference (behavioral spec only): zxhuang1698/ShapeClipper @ /root/reference.
 """
 
 __version__ = "0.1.0"
+
+# Some TPU attach plugins override the JAX_PLATFORMS env var; SCL_PLATFORM
+# provides a reliable escape hatch (used by CI/smoke tests to pin CPU).
+import os as _os
+
+if _os.environ.get("SCL_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["SCL_PLATFORM"])

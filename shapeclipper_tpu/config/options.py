@@ -66,8 +66,12 @@ def load_options(fname):
 def override_options(opt, opt_over, key_stack=None, safe_check=False):
     for key, value in opt_over.items():
         if isinstance(value, dict):
-            opt[key] = override_options(opt.get(key, edict()), value,
-                                        key_stack=key_stack + [key], safe_check=safe_check)
+            # `or edict()`: a key present with a null value (e.g. `mesh:`)
+            # accepts a dict override
+            base = opt.get(key) or edict()
+            opt[key] = override_options(base, value,
+                                        key_stack=key_stack + [key],
+                                        safe_check=safe_check and bool(opt.get(key)))
         else:
             if safe_check and key not in opt and key not in _ALWAYS_ALLOWED_KEYS:
                 key_str = ".".join(key_stack + [key])

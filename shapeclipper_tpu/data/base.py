@@ -32,6 +32,42 @@ class Dataset:
     def __init__(self, opt, split):
         self.opt = opt.deepcopy() if hasattr(opt, "deepcopy") else opt
         self.split = split
+        self.augment = (split == "train" and opt.data.get("augment"))
+
+    # ------------------------------------------------------ augmentation
+    def generate_augmentation(self, opt, rng=None):
+        """Per-sample augmentation parameters (reference
+        `data/base.py:41-58`): color jitter ranges, horizontal flip, crop
+        ratio, rotation angle."""
+        rng = rng or np.random
+        aug = opt.data.augment
+        return dict(
+            brightness=1 + (rng.rand() * 2 - 1) * (aug.get("brightness") or 0),
+            contrast=1 + (rng.rand() * 2 - 1) * (aug.get("contrast") or 0),
+            saturation=1 + (rng.rand() * 2 - 1) * (aug.get("saturation") or 0),
+            hue=(rng.rand() * 2 - 1) * (aug.get("hue") or 0),
+            flip=bool(rng.randn() > 0) if aug.get("hflip") else False,
+            crop_ratio=(1 + (rng.rand() * 2 - 1) * aug.crop_scale
+                        if aug.get("crop_scale") else 1),
+            rot_angle=((rng.rand() * 2 - 1) * aug.rotate
+                       if aug.get("rotate") else 0),
+        )
+
+    def apply_color_jitter(self, rgb, aug):
+        """rgb: [H, W, 3] float in [0,1] -> jittered (brightness/contrast/
+        saturation/hue), host-side numpy."""
+        x = np.asarray(rgb, np.float32)
+        x = np.clip(x * aug["brightness"], 0, 1)
+        mean = x.mean(axis=(0, 1), keepdims=True)
+        x = np.clip((x - mean) * aug["contrast"] + mean, 0, 1)
+        grey = x.mean(axis=-1, keepdims=True)
+        x = np.clip((x - grey) * aug["saturation"] + grey, 0, 1)
+        if aug["hue"]:
+            # cheap hue rotation via channel roll interpolation
+            rolled = np.roll(x, 1, axis=-1)
+            t = abs(aug["hue"])
+            x = np.clip((1 - t) * x + t * rolled, 0, 1)
+        return x
 
     def __len__(self):
         return len(self.list)

@@ -48,8 +48,7 @@ def _eval_grid_chunked(sdf_apply, params_sdf, points, latent, n_chunks):
 
     def body(carry, pts_chunk):
         p = jnp.broadcast_to(pts_chunk[None], (B, chunk, 3))
-        lat = jnp.broadcast_to(latent[:, None, :], (B, chunk, latent.shape[-1]))
-        out = sdf_apply({"params": params_sdf}, p, lat)
+        out = sdf_apply({"params": params_sdf}, p, latent)
         return carry, out[..., 0]
 
     _, sdf = jax.lax.scan(body, None, pts)          # [n_chunks, B, chunk]

@@ -83,6 +83,45 @@ def _softplus100(x):
     return jax.nn.softplus(100.0 * x) / 100.0
 
 
+class _FactoredLinear(nn.Module):
+    """Dense layer applied to a virtual concatenation of input segments.
+
+    Mathematically identical to `Dense(concat(segments))` but never
+    materializes the concat, and applies per-SAMPLE segments ([B, k], e.g.
+    the conditioning latent) as a broadcast per-sample bias instead of
+    repeating them per point — on TPU this removes the dominant HBM traffic
+    of the implicit MLPs (the [B·R·S, 103..167] concat tensors) and ~30% of
+    the MACs. Param tree matches nn.Dense ({kernel, bias})."""
+
+    features: int
+    in_dim: int
+    kernel_init: object
+    bias_init: object
+
+    @nn.compact
+    def __call__(self, segments):
+        """segments: list of (array, scale) where array is [B, N, k]
+        (per-point) or [B, k] (per-sample); segment widths must sum to
+        in_dim in order."""
+        kernel = self.param("kernel", self.kernel_init,
+                            (self.in_dim, self.features))
+        bias = self.param("bias", self.bias_init, (self.features,))
+        out = None
+        offset = 0
+        for arr, scale in segments:
+            k = arr.shape[-1]
+            w = kernel[offset:offset + k]
+            if scale != 1.0:
+                w = w * scale
+            y = arr @ w
+            if arr.ndim == 2:  # per-sample -> broadcast over points
+                y = y[:, None, :]
+            out = y if out is None else out + y
+            offset += k
+        assert offset == self.in_dim, (offset, self.in_dim)
+        return out + bias
+
+
 # ---------------------------------------------------------------------------
 # SDF network
 # ---------------------------------------------------------------------------
@@ -163,25 +202,36 @@ class SDFNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, points, latent):
+        """points: [B, N, 3]; latent: [B, C] (factored fast path) or
+        [B, N, C] (per-point). Output [B, N, 1 + n_channels].
+
+        Same math as Dense-on-concat (reference `model/implicit.py:138-161`)
+        but latent contributions apply as per-sample biases via
+        _FactoredLinear — the concat tensors never hit HBM."""
         if self.force_symmetry:
             points = jnp.concatenate(
                 [jnp.abs(points[..., :1]), points[..., 1:]], axis=-1)
         if self.posenc_res > 0:
             points = positional_encoding(points, self.posenc_res)
-        inputs = jnp.concatenate([points, latent], axis=-1)
         dims = self._dims()
         num_layers = len(dims)
-        x = inputs
+        inv_sqrt2 = 1.0 / np.sqrt(2.0)
+        x = None
         for l in range(num_layers - 1):
             in_dim = dims[l] + (dims[0] if l in self.skip_in else 0)
-            if l in self.skip_in:
-                x = jnp.concatenate([x, inputs], axis=-1) / np.sqrt(2.0)
-            x = nn.Dense(
-                dims[l + 1],
+            if l == 0:
+                segments = [(points, 1.0), (latent, 1.0)]
+            elif l in self.skip_in:
+                segments = [(x, inv_sqrt2), (points, inv_sqrt2),
+                            (latent, inv_sqrt2)]
+            else:
+                segments = [(x, 1.0)]
+            x = _FactoredLinear(
+                dims[l + 1], in_dim,
                 kernel_init=self._kernel_init(l, in_dim, dims[l + 1], dims[0]),
                 bias_init=self._bias_init(l, in_dim),
                 name=f"lin{l}",
-            )(x)
+            )(segments)
             if l < num_layers - 2:
                 x = _softplus100(x)
         return x  # [..., 1 + n_channels]
@@ -242,23 +292,27 @@ class RGBNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, points, latent, sdf_feature):
+        """points: [B, N, 3]; latent: [B, C] or [B, N, C]; sdf_feature:
+        [B, N, Csdf]. Factored first layer (see SDFNetwork.__call__)."""
         if self.force_symmetry:
             points = jnp.concatenate(
                 [jnp.abs(points[..., :1]), points[..., 1:]], axis=-1)
         if self.posenc_res > 0:
             points = positional_encoding(points, self.posenc_res)
-        x = jnp.concatenate([points, latent, sdf_feature], axis=-1)
         pe = posenc_dim(self.posenc_res) if self.posenc_res > 0 else 3
         dims = ([pe + self.proj_latent_dim + self.n_sdf_channels]
                 + [self.n_channels] * self.n_hidden + [3])
         num_layers = len(dims)
+        x = None
         for l in range(num_layers - 1):
-            x = nn.Dense(
-                dims[l + 1],
+            segments = ([(points, 1.0), (latent, 1.0), (sdf_feature, 1.0)]
+                        if l == 0 else [(x, 1.0)])
+            x = _FactoredLinear(
+                dims[l + 1], dims[l],
                 kernel_init=_torch_linear_kernel_init,
                 bias_init=_torch_linear_bias_init(dims[l]),
                 name=f"lin{l}",
-            )(x)
+            )(segments)
             if l < num_layers - 2:
                 x = nn.relu(x)
         return nn.sigmoid(x)

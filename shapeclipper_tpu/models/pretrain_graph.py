@@ -57,10 +57,8 @@ class PretrainGraph(Graph):
         P = opt.pre.sample_points
         lo, hi = opt.pre.sample_range
         points = jax.random.uniform(rng, (B, P, 3), minval=lo, maxval=hi)
-        lat = jnp.broadcast_to(proj_latent_sdf[:, None, :],
-                               (B, P, proj_latent_sdf.shape[-1]))
         out = self.sdf_network.apply({"params": params["sdf_network"]},
-                                     points, lat)
+                                     points, proj_latent_sdf)
         sdf = out[..., :1]
         sdf_gt = jnp.linalg.norm(points, axis=-1, keepdims=True) - opt.pre.radius
         return L.mse_loss(sdf, sdf_gt)

@@ -136,10 +136,10 @@ def render(
     points_flat = points.reshape(B, R * S, 3)
 
     # --- SDF + spatial gradient + density ----------------------------------
-    lat_sdf = jnp.broadcast_to(proj_latent_sdf[:, None, :],
-                               (B, R * S, proj_latent_sdf.shape[-1]))
+    # latent passed per-sample [B, C]; the MLP factors it into a broadcast
+    # bias (no per-point repetition)
     sdf, sdf_feat, grad_sdf = sdf_with_gradient(
-        sdf_apply, params["sdf_network"], points_flat, lat_sdf,
+        sdf_apply, params["sdf_network"], points_flat, proj_latent_sdf,
         detach_latent=False)
     beta = params["density"]["beta"]
     density = laplace_density(sdf, beta).reshape(B, R, S)
@@ -148,10 +148,8 @@ def render(
     normal_flat = -laplace_density_dsdf(sdf, beta) * grad_sdf   # [B,RS,3]
 
     # --- RGB field ----------------------------------------------------------
-    lat_rgb = jnp.broadcast_to(proj_latent_rgb[:, None, :],
-                               (B, R * S, proj_latent_rgb.shape[-1]))
     rgb_flat = rgb_apply({"params": params["rgb_network"]},
-                         points_flat, lat_rgb, sdf_feat)        # [B,RS,3]
+                         points_flat, proj_latent_rgb, sdf_feat)  # [B,RS,3]
     rgb = rgb_flat.reshape(B, R, S, 3)
 
     # --- composite -----------------------------------------------------------
@@ -179,10 +177,8 @@ def render(
             rng_eik_pts, (B, R, 3), minval=lo, maxval=hi)
         eik_near = cam_loc + z_eik * ray_dirs                     # [B,R,3]
         eik_points = jnp.concatenate([eik_uniform, eik_near], axis=1)
-        lat_eik = jnp.broadcast_to(proj_latent_sdf[:, None, :],
-                                   (B, 2 * R, proj_latent_sdf.shape[-1]))
         _, _, grad_eik = sdf_with_gradient(
-            sdf_apply, params["sdf_network"], eik_points, lat_eik,
+            sdf_apply, params["sdf_network"], eik_points, proj_latent_sdf,
             detach_latent=True)
         grad_eikonal = jnp.linalg.norm(grad_eik, axis=-1)         # [B,2R]
 

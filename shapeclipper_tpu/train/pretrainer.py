@@ -97,8 +97,8 @@ class Runner:
         self.it = 0
         rng = jax.random.PRNGKey((opt.seed or 0) + 1)
         self.save_checkpoint(opt, ep=0, it=self.it + 1, latest=True)
-        loader = iter(self.pretrain_loader)
         needs_images = bool(opt.pre.viewpoint)
+        loader = iter(self.pretrain_loader) if needs_images else None
         t_log = time.time()
         for _ in range(opt.pre.iter):
             timer.begin_iter()

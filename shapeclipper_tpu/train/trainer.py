@@ -377,8 +377,10 @@ class Runner:
             metric_eval["dist_acc"] += dist_acc * B
             metric_eval["dist_cov"] += dist_cov * B
 
-            if it == 0 and training and self.viz_data and self.tb:
-                self.visualize_viz_data(opt, step=ep, split="eval")
+            if it == 0 and training and self.viz_data:
+                if self.tb:
+                    self.visualize_viz_data(opt, step=ep, split="eval")
+                self._dump_rotating_vis(opt, ep)
             if not training:
                 self.dump_results(opt_e, var, ep, write_new=(it == 0))
 
@@ -471,6 +473,33 @@ class Runner:
                 util_vis.dump_images(opt, var.idx, "normal_recon",
                                      var.normal_recon_map,
                                      from_range=(-1, 1), folder=folder)
+
+    def _dump_rotating_vis(self, opt, ep, n_views=50):
+        """Per-eval visualization dumps for the viz samples: predicted mesh,
+        pred/GT point-cloud compare, rotating-view GIFs (reference
+        `runner.py:349-357` + `dump_results(train=True)`)."""
+        opt_e = self.graph_eval.opt
+        folder = f"vis_{ep}"
+        for batch in self.viz_data:
+            var = parallel.shard_batch(self.mesh, _batch_to_var(batch))
+            var = self._eval_forward(self.params, self.batch_stats, var)
+            try:
+                eval_3D.eval_metrics(opt_e, var, self.graph.sdf_network.apply,
+                                     self.params["sdf_network"],
+                                     vis_only=True,
+                                     rng=np.random.RandomState(ep))
+                var = self.vis_rotate(opt, var, n_views=n_views)
+                self.dump_results(opt_e, var, ep, train=True)
+                util_vis.dump_gifs(self.opt, var.idx, "image_rotate",
+                                   var.rotating_imgs, from_range=(0, 1),
+                                   folder=folder)
+                util_vis.dump_gifs(self.opt, var.idx, "mask_rotate",
+                                   var.rotating_masks, folder=folder)
+                util_vis.dump_gifs(self.opt, var.idx, "normal_rotate",
+                                   var.rotating_normals, from_range=(0, 1),
+                                   folder=folder)
+            except Exception as e:  # vis must never kill training
+                log.warn(f"rotating vis failed: {e}")
 
     # -------------------------------------------------------- rotating views
     def vis_rotate(self, opt, var, n_views=50):

@@ -91,6 +91,9 @@ def restore_checkpoint(output_path, graph_state, optim_states=None,
     if resume:
         if best:
             load_name = os.path.join(output_path, "best.ckpt")
+            if not os.path.exists(load_name):
+                log.warn("best.ckpt not found; falling back to latest.ckpt")
+                load_name = os.path.join(output_path, "latest.ckpt")
         elif resume is True:
             load_name = os.path.join(output_path, "latest.ckpt")
         else:

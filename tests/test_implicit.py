@@ -136,3 +136,32 @@ def test_rgb_network_range_and_shape():
     rgb = net.apply({"params": params}, pts, lat, feat)
     assert rgb.shape == (2, 10, 3)
     assert float(rgb.min()) >= 0.0 and float(rgb.max()) <= 1.0
+
+
+def test_factored_latent_matches_per_point():
+    """[B,C] factored latent must equal the [B,N,C] per-point path."""
+    net, params = _sdf_net_and_params()
+    pts = jax.random.normal(jax.random.PRNGKey(20), (2, 9, 3)) * 0.4
+    lat = jax.random.normal(jax.random.PRNGKey(21), (2, 64)) * 0.1
+    lat_pp = jnp.broadcast_to(lat[:, None, :], (2, 9, 64))
+    out_f = net.apply({"params": params}, pts, lat)
+    out_p = net.apply({"params": params}, pts, lat_pp)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
+                               atol=1e-5)
+
+    rgbnet = RGBNetwork()
+    feat = jax.random.normal(jax.random.PRNGKey(22), (2, 9, 64))
+    rp = rgbnet.init(jax.random.PRNGKey(23), pts, lat, feat)["params"]
+    rf = rgbnet.apply({"params": rp}, pts, lat, feat)
+    rpnt = rgbnet.apply({"params": rp}, pts, lat_pp, feat)
+    np.testing.assert_allclose(np.asarray(rf), np.asarray(rpnt), atol=1e-5)
+
+
+def test_param_tree_matches_dense_layout():
+    """FactoredLinear keeps the nn.Dense param contract {kernel, bias} with
+    full concat in_dim (checkpoint compatibility)."""
+    net, params = _sdf_net_and_params()
+    assert params["lin0"]["kernel"].shape == (103, 64)
+    assert params["lin1"]["kernel"].shape == (167, 64)
+    assert params["lin5"]["kernel"].shape == (64, 65)
+    assert params["lin0"]["bias"].shape == (64,)
