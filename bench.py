@@ -78,13 +78,16 @@ def main():
 
     step = jax.jit(step, donate_argnums=(0, 1, 2))
 
+    import numpy as np
+
     rng = jax.random.PRNGKey(1)
-    # warmup / compile
+    # warmup / compile; float() forces a true device->host sync (some TPU
+    # attach transports make block_until_ready effectively async)
     for _ in range(3):
         rng, r = jax.random.split(rng)
         params, stats, opt_state, loss_all = step(params, stats, opt_state,
                                                   batch, r)
-    jax.block_until_ready(loss_all)
+    float(np.asarray(loss_all))
 
     n_iters = int(os.environ.get("SCL_BENCH_ITERS", "20"))
     t0 = time.perf_counter()
@@ -92,7 +95,7 @@ def main():
         rng, r = jax.random.split(rng)
         params, stats, opt_state, loss_all = step(params, stats, opt_state,
                                                   batch, r)
-    jax.block_until_ready(loss_all)
+    float(np.asarray(loss_all))
     dt = time.perf_counter() - t0
 
     its = n_iters / dt / max(n_chips, 1)

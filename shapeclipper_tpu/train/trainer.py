@@ -76,8 +76,12 @@ class Runner:
             f"shapeclipper_tpu.data.{opt.data.dataset}")
         log.info("loading training data...")
         self.train_data = data.Dataset(opt, split="train")
+        # multi-host: each host loads its slice of the global batch
+        # (replaces DistributedSampler, reference `data/base.py:17-19`)
         self.train_loader = self.train_data.setup_loader(
-            opt, shuffle=True, seed=opt.seed or 0)
+            opt, shuffle=True, seed=opt.seed or 0,
+            batch_size=opt.batch_size // jax.process_count(),
+            shard_id=jax.process_index(), num_shards=jax.process_count())
         self.num_batches = len(self.train_loader)
         log.info("loading test data...")
         self.test_data = data.Dataset(opt, split=eval_split)
@@ -263,6 +267,17 @@ class Runner:
 
     def train_iteration(self, opt, var):
         self.timer.begin_iter()
+        # optional profiler trace window (aux subsystem; reference has only a
+        # wall-clock EMA timer, `utils/util.py:64-70`)
+        prof = opt.get("tpu", {}).get("profile_iters")
+        if prof and self.it == prof[0]:
+            import jax.profiler
+            os.makedirs(f"{opt.output_path}/profile", exist_ok=True)
+            jax.profiler.start_trace(f"{opt.output_path}/profile")
+        if prof and self.it == prof[1]:
+            import jax.profiler
+            jax.profiler.stop_trace()
+            log.info(f"profiler trace written to {opt.output_path}/profile")
         camera_phase = self.it <= opt.optim.iter_camera and \
             opt.optim.iter_camera > 0
         step = self._step_V if camera_phase else self._step_full

@@ -66,6 +66,16 @@ def _draw_line(img, p0, p1, color, n=64):
             img[y, x] = color
 
 
+def draw_scale_text(img_uint8, scale_value):
+    """Overlay the predicted scale as text (reference
+    `utils/util_vis.py:131-142`)."""
+    import PIL.ImageDraw
+    im = PIL.Image.fromarray(img_uint8)
+    draw = PIL.ImageDraw.Draw(im)
+    draw.text((4, 4), f"scale {float(scale_value):.3f}", fill=(255, 0, 0))
+    return np.asarray(im)
+
+
 def image_grid(images_uint8, num_cols=8):
     B, H, W, C = images_uint8.shape
     num_cols = min(num_cols, B)

@@ -11,7 +11,7 @@ import pytest
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
 
-def _run(args, tmp, extra_env=None, timeout=900):
+def _run(args, tmp, extra_env=None, timeout=2400):
     env = dict(os.environ)
     # the axon plugin ignores JAX_PLATFORMS; SCL_PLATFORM is honored by the
     # package __init__ via jax.config

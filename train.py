@@ -21,6 +21,13 @@ def main():
     log.title(f"[{sys.argv[0]}] (training)")
 
     opt_cmd = options.parse_arguments(sys.argv[1:])
+    # multi-host (multi-slice / DCN): initialize the distributed runtime
+    # before any jax call; each host then drives its local devices and loads
+    # its shard of the data (replaces mp.spawn + NCCL rendezvous,
+    # reference `train.py:34-41`)
+    if opt_cmd.pop("distributed", False):
+        import jax
+        jax.distributed.initialize()
     opt = options.set(opt_cmd=opt_cmd)
     options.save_options_file(opt)
 
