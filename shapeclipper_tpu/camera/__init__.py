@@ -237,6 +237,13 @@ def get_intr(opt, scale_focal):
     return intr
 
 
+def get_transformed_grid(points_3D, p, pose_gt):
+    """Transform grid points from the GT camera frame into the predicted
+    frame (reference `utils/camera.py:50-53`)."""
+    points_cam = world2cam(points_3D, pose_gt[:, None, None])
+    return cam2world(points_cam, p[:, None, None])
+
+
 def pose_from_azim_elev(azim, elev):
     """Look-at rotation from trig azim/elev pairs (reference `utils/camera.py:55-74`)."""
     cos_a, sin_a = azim[:, 0], azim[:, 1]

@@ -187,13 +187,17 @@ def fused_sdf_forward(params_sdf, points, latent, n_freqs=6, skip_in=(1, 2),
         out = _mlp_rows(rows, [k[:] for k in kern_refs], biases_row,
                         skip_in, n_hidden, compute_grad, sp_select)
 
-        buf = jnp.zeros((T, 128), jnp.float32)
-        buf = buf.at[:, :out_width].set(out[:T])
+        # assemble the padded output row block without scatters (Mosaic has
+        # no scatter lowering): [out | grad | zero pad] -> [T, 128]
+        pieces = [out[:T]]
+        pad = 128 - out_width
         if compute_grad:
             g = out[T:].reshape(3, T, -1)[:, :, 0]            # [3, T] d sdf
-            g = g.at[0].multiply(sign0[:, 0])                 # |x| chain rule
-            buf = buf.at[:, out_width:out_width + 3].set(g.T)
-        out_ref[0] = buf
+            gx = g[0:1] * sign0[:, 0][None]                   # |x| chain rule
+            pieces.append(jnp.concatenate([gx, g[1:]], axis=0).T)
+            pad -= 3
+        pieces.append(jnp.zeros((T, pad), jnp.float32))
+        out_ref[0] = jnp.concatenate(pieces, axis=-1)
 
     grid = (B, n_pad // TILE_N)
     in_specs = [pl.BlockSpec((1, TILE_N, 3), lambda b, i: (b, i, 0),

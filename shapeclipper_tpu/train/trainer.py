@@ -271,15 +271,15 @@ class Runner:
         # wall-clock EMA timer, `utils/util.py:64-70`)
         prof = opt.get("tpu", {}).get("profile_iters")
         if prof and self.it == prof[0]:
-            import jax.profiler
             os.makedirs(f"{opt.output_path}/profile", exist_ok=True)
             jax.profiler.start_trace(f"{opt.output_path}/profile")
         if prof and self.it == prof[1]:
-            import jax.profiler
             jax.profiler.stop_trace()
             log.info(f"profiler trace written to {opt.output_path}/profile")
-        camera_phase = self.it <= opt.optim.iter_camera and \
-            opt.optim.iter_camera > 0
+        # reference `runner.py:241`: optim_full only when it > iter_camera —
+        # iteration 0 is ALWAYS a camera-phase step (estimator-only update,
+        # BN frozen, NN/eikonal losses inactive), even with iter_camera=0
+        camera_phase = self.it <= opt.optim.iter_camera
         step = self._step_V if camera_phase else self._step_full
         opt_state = self.optim_V if camera_phase else self.optim_full
         self.rng, rng_step = jax.random.split(self.rng)
