@@ -151,10 +151,20 @@ class Graph:
 
     def render(self, params, pose, intr, scale_dist, proj_sdf, proj_rgb,
                ray_idx, rng, training, visualize=False):
-        return renderlib.render(
-            self.opt, self.sdf_network.apply, self.rgb_network.apply, params,
-            pose, intr, scale_dist, proj_sdf, proj_rgb, ray_idx=ray_idx,
-            rng=rng, training=training, visualize=visualize)
+        def run(params, pose, intr, scale_dist, proj_sdf, proj_rgb, ray_idx,
+                rng):
+            return renderlib.render(
+                self.opt, self.sdf_network.apply, self.rgb_network.apply,
+                params, pose, intr, scale_dist, proj_sdf, proj_rgb,
+                ray_idx=ray_idx, rng=rng, training=training,
+                visualize=visualize)
+
+        if training and self.opt.get("tpu", {}).get("remat_renderer"):
+            # rematerialize renderer activations in the backward pass (trades
+            # FLOPs for HBM; useful for large ray/sample counts)
+            run = jax.checkpoint(run)
+        return run(params, pose, intr, scale_dist, proj_sdf, proj_rgb,
+                   ray_idx, rng)
 
     # --------------------------------------------------------------- forward
     def forward(self, params, stats, var, rng, training=False, get_loss=True,

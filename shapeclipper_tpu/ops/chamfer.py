@@ -58,7 +58,12 @@ def _nn_kernel(x1_ref, x2_ref, dist_ref, idx_ref):
             precision=jax.lax.Precision.HIGHEST)       # [T1, T2]
         d = x2_sq[None, :] - 2.0 * cross               # [T1, T2] (+|x1|^2 later)
         local_min = jnp.min(d, axis=1)                 # [T1]
-        local_arg = jnp.argmin(d, axis=1).astype(jnp.int32) + t * TILE_N2
+        # argmin via a second masked-min pass (jnp.argmin lowers poorly on
+        # Mosaic)
+        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        local_arg = jnp.min(
+            jnp.where(d <= local_min[:, None], col, jnp.int32(2 ** 30)),
+            axis=1) + t * TILE_N2
         take = local_min < best_d
         return (jnp.where(take, local_min, best_d),
                 jnp.where(take, local_arg, best_i))

@@ -67,11 +67,20 @@ def prepare_fused_params(params_sdf, latent, n_freqs=6, skip_in=(1, 2),
     return kernels, biases
 
 
-def _posenc_and_tangents(x, n_freqs, compute_grad):
+def make_posenc_constants(n_freqs):
+    """Constant tables for the kernel (passed as inputs — Mosaic rejects
+    captured constants): freqs [1, F], eye [3, 3], coord_mask [3, 6F]."""
+    freqs = (2.0 ** np.arange(n_freqs, dtype=np.float32))[None]
+    eye = np.eye(3, dtype=np.float32)
+    coord_mask = np.tile(eye, (1, 2 * n_freqs)).reshape(3, -1)
+    return (jnp.asarray(freqs), jnp.asarray(eye), jnp.asarray(coord_mask))
+
+
+def _posenc_and_tangents(x, freqs, eye, coord_mask, compute_grad):
     """x: [T, 3] (|x| already applied). Returns pe [T, 39] and, when
     compute_grad, tangents dpe/dx_d stacked as [3, T, 39]."""
-    freqs = 2.0 ** jnp.arange(n_freqs, dtype=x.dtype)       # [F]
-    xf = x[:, None, :] * freqs[:, None]                      # [T, F, 3]
+    f = freqs[0]                                             # [F]
+    xf = x[:, None, :] * f[:, None]                          # [T, F, 3]
     sin, cos = jnp.sin(xf), jnp.cos(xf)
     sc = jnp.stack([sin, cos], axis=-2)                      # [T, F, 2, 3]
     pe = jnp.concatenate([x, sc.reshape(x.shape[0], -1)], axis=-1)
@@ -79,13 +88,11 @@ def _posenc_and_tangents(x, n_freqs, compute_grad):
         return pe, None
     # d sin(f x_d)/dx_d = f cos, d cos/dx_d = -f sin; features of coord d
     # depend only on x_d
-    dsc = jnp.stack([cos * freqs[:, None], -sin * freqs[:, None]], axis=-2)
-    eye = jnp.eye(3, dtype=x.dtype)                          # [3(coord), 3]
+    dsc = jnp.stack([cos * f[:, None], -sin * f[:, None]], axis=-2)
     # tangent of the raw-x block: identity rows; of sc block: mask per coord
     t_x = jnp.broadcast_to(eye[:, None, :], (3, x.shape[0], 3))
     dsc_flat = dsc.reshape(1, x.shape[0], -1)                # [1, T, 36]
-    coord_mask = jnp.tile(eye, (1, 2 * n_freqs)).reshape(3, 1, -1)
-    t_sc = dsc_flat * coord_mask                             # [3, T, 36]
+    t_sc = dsc_flat * coord_mask[:, None, :]                 # [3, T, 36]
     tangents = jnp.concatenate([t_x, t_sc], axis=-1)         # [3, T, 39]
     return pe, tangents
 
@@ -143,7 +150,7 @@ def fused_sdf_forward(params_sdf, points, latent, n_freqs=6, skip_in=(1, 2),
             kernels_flat.append(Kb)
     num_layers = n_hidden + 1
 
-    def kernel(pts_ref, *refs):
+    def kernel(pts_ref, freqs_ref, eye_ref, mask_ref, *refs):
         bias_refs = refs[:num_layers]
         kern_refs = refs[num_layers:num_layers + len(kernels_flat)]
         out_ref = refs[-1]
@@ -152,7 +159,8 @@ def fused_sdf_forward(params_sdf, points, latent, n_freqs=6, skip_in=(1, 2),
         if force_symmetry:
             sign0 = jnp.where(x[:, :1] < 0, -1.0, 1.0)
             x = jnp.concatenate([jnp.abs(x[:, :1]), x[:, 1:]], axis=-1)
-        pe, tangents = _posenc_and_tangents(x, n_freqs, compute_grad)
+        pe, tangents = _posenc_and_tangents(
+            x, freqs_ref[:], eye_ref[:], mask_ref[:], compute_grad)
         T = pe.shape[0]
         if compute_grad:
             rows = jnp.concatenate([pe, tangents.reshape(3 * T, -1)], axis=0)
@@ -200,9 +208,12 @@ def fused_sdf_forward(params_sdf, points, latent, n_freqs=6, skip_in=(1, 2),
         out_ref[0] = jnp.concatenate(pieces, axis=-1)
 
     grid = (B, n_pad // TILE_N)
+    consts = make_posenc_constants(n_freqs)
     in_specs = [pl.BlockSpec((1, TILE_N, 3), lambda b, i: (b, i, 0),
                              memory_space=pltpu.VMEM)]
-    inputs = [pts]
+    in_specs += [pl.BlockSpec(c.shape, lambda b, i, nd=c.ndim: (0,) * nd,
+                              memory_space=pltpu.VMEM) for c in consts]
+    inputs = [pts, *consts]
     for b in biases:
         # full [B, out] block (tiny); the kernel indexes its batch row —
         # per-batch (1, out) blocks violate the sublane tiling constraint
