@@ -5,21 +5,23 @@ Dense layers with skips, softplus(100)) on 10^5..10^6 points. Under XLA each
 layer's [N, 64] activation round-trips HBM; this kernel keeps a whole tile's
 activations in VMEM and fuses posenc + all layers (+ optionally the spatial
 gradient via forward-mode tangents, batched into the same MXU matmuls as the
-primal).
+primal: rows = [primal; tangent_x; tangent_y; tangent_z]).
 
-Semantics: identical to `SDFNetwork.__call__` /
-`sdf_with_gradient` (models/implicit.py) for the default architecture
-(posenc 6, skip at {1, 2}, 5 hidden x 64, force_symmetry). The latent enters
-as precomputed per-sample effective biases (the factored-latent form), so the
-kernel sees only per-point math.
+Semantics: identical to `SDFNetwork.__call__` / `sdf_with_gradient`
+(models/implicit.py) for the default architecture (posenc 6, skip at {1, 2},
+5 hidden x 64, force_symmetry). The latent enters as precomputed per-sample
+effective biases (the factored-latent form), so the kernel sees only
+per-point math.
+
+Mosaic restrictions honored: no scatters, no captured constant arrays, no
+>2D reshapes inside the kernel (everything is concat/slice on 2-D tiles),
+frequencies folded in as scalar immediates.
 
 Used on no-grad paths (dense-grid eval, eval renders). Training keeps the
 XLA implementation (which autodiff nests through).
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -38,11 +40,7 @@ def _round_up(x, m):
 def prepare_fused_params(params_sdf, latent, n_freqs=6, skip_in=(1, 2),
                          n_hidden=5):
     """Fold the latent into per-layer effective biases and pre-scale the skip
-    kernels; returns a flat list of kernel arrays for the kernel call.
-
-    params_sdf: flax param tree {lin0..lin5: {kernel, bias}};
-    latent: [B, C].
-    """
+    kernels; returns (kernels flat list, biases list [B, out])."""
     pe_dim = 3 + 6 * n_freqs
     num_layers = n_hidden + 1  # 6 linear layers
     kernels, biases = [], []
@@ -67,66 +65,12 @@ def prepare_fused_params(params_sdf, latent, n_freqs=6, skip_in=(1, 2),
     return kernels, biases
 
 
-def make_posenc_constants(n_freqs):
-    """Constant tables for the kernel (passed as inputs — Mosaic rejects
-    captured constants): freqs [1, F], eye [3, 3], coord_mask [3, 6F]."""
-    freqs = (2.0 ** np.arange(n_freqs, dtype=np.float32))[None]
+def _coord_masks(n_freqs):
+    """[3, 3 + 6F] 0/1 rows: which posenc features depend on coordinate d
+    (feature order [x, sin(f0 x), cos(f0 x), sin(f1 x), ...])."""
     eye = np.eye(3, dtype=np.float32)
-    coord_mask = np.tile(eye, (1, 2 * n_freqs)).reshape(3, -1)
-    return (jnp.asarray(freqs), jnp.asarray(eye), jnp.asarray(coord_mask))
-
-
-def _posenc_and_tangents(x, freqs, eye, coord_mask, compute_grad):
-    """x: [T, 3] (|x| already applied). Returns pe [T, 39] and, when
-    compute_grad, tangents dpe/dx_d stacked as [3, T, 39]."""
-    f = freqs[0]                                             # [F]
-    xf = x[:, None, :] * f[:, None]                          # [T, F, 3]
-    sin, cos = jnp.sin(xf), jnp.cos(xf)
-    sc = jnp.stack([sin, cos], axis=-2)                      # [T, F, 2, 3]
-    pe = jnp.concatenate([x, sc.reshape(x.shape[0], -1)], axis=-1)
-    if not compute_grad:
-        return pe, None
-    # d sin(f x_d)/dx_d = f cos, d cos/dx_d = -f sin; features of coord d
-    # depend only on x_d
-    dsc = jnp.stack([cos * f[:, None], -sin * f[:, None]], axis=-2)
-    # tangent of the raw-x block: identity rows; of sc block: mask per coord
-    t_x = jnp.broadcast_to(eye[:, None, :], (3, x.shape[0], 3))
-    dsc_flat = dsc.reshape(1, x.shape[0], -1)                # [1, T, 36]
-    t_sc = dsc_flat * coord_mask[:, None, :]                 # [3, T, 36]
-    tangents = jnp.concatenate([t_x, t_sc], axis=-1)         # [3, T, 39]
-    return pe, tangents
-
-
-def _mlp_rows(pe_rows, kernels_flat, biases_row, skip_in, n_hidden,
-              compute_grad, sp_select):
-    """Shared MLP body on stacked rows [R, 39] where R = T (primal only) or
-    4T (primal + 3 tangents). `sp_select(a_primal, rows)` applies the right
-    nonlinearity per row group."""
-    num_layers = n_hidden + 1
-    ki = 0
-    h = None
-    for l in range(num_layers):
-        if l == 0:
-            W = kernels_flat[ki]; ki += 1
-            out = jax.lax.dot_general(
-                pe_rows, W, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        elif l in skip_in:
-            Wh = kernels_flat[ki]; ki += 1
-            Wpe = kernels_flat[ki]; ki += 1
-            out = (jax.lax.dot_general(h, Wh, (((1,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-                   + jax.lax.dot_general(pe_rows, Wpe, (((1,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.float32))
-        else:
-            W = kernels_flat[ki]; ki += 1
-            out = jax.lax.dot_general(h, W, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-        out = out + biases_row[l]
-        if l < num_layers - 1:
-            out = sp_select(out, l)
-        h = out
-    return h
+    blocks = [eye] + [eye, eye] * n_freqs
+    return np.concatenate(blocks, axis=1)
 
 
 def fused_sdf_forward(params_sdf, points, latent, n_freqs=6, skip_in=(1, 2),
@@ -142,6 +86,7 @@ def fused_sdf_forward(params_sdf, points, latent, n_freqs=6, skip_in=(1, 2),
     out_width = kernels[-1][0].shape[-1]  # 1 + feat channels
     n_pad = _round_up(N, TILE_N)
     pts = jnp.zeros((B, n_pad, 3), jnp.float32).at[:, :N].set(points)
+    masks = jnp.asarray(_coord_masks(n_freqs))               # [3, 39]
 
     kernels_flat = []
     for Ka, Kb in kernels:
@@ -149,71 +94,96 @@ def fused_sdf_forward(params_sdf, points, latent, n_freqs=6, skip_in=(1, 2),
         if Kb is not None:
             kernels_flat.append(Kb)
     num_layers = n_hidden + 1
+    freq_vals = [float(2.0 ** k) for k in range(n_freqs)]
 
-    def kernel(pts_ref, freqs_ref, eye_ref, mask_ref, *refs):
+    def kernel(pts_ref, masks_ref, *refs):
         bias_refs = refs[:num_layers]
         kern_refs = refs[num_layers:num_layers + len(kernels_flat)]
         out_ref = refs[-1]
         batch_idx = pl.program_id(0)
         x = pts_ref[0]                                        # [T, 3]
+        T = x.shape[0]
         if force_symmetry:
             sign0 = jnp.where(x[:, :1] < 0, -1.0, 1.0)
             x = jnp.concatenate([jnp.abs(x[:, :1]), x[:, 1:]], axis=-1)
-        pe, tangents = _posenc_and_tangents(
-            x, freqs_ref[:], eye_ref[:], mask_ref[:], compute_grad)
-        T = pe.shape[0]
-        if compute_grad:
-            rows = jnp.concatenate([pe, tangents.reshape(3 * T, -1)], axis=0)
-        else:
-            rows = pe
 
-        biases_row = []
-        primal_sel = jax.lax.broadcasted_iota(
-            jnp.int32, (rows.shape[0], 1), 0) < T
-
-        for l in range(num_layers):
-            b = bias_refs[l][batch_idx]                      # [out]
+        # posenc, 2-D ops only; scalar frequencies are immediates
+        pe_parts = [x]
+        dpe_parts = [jnp.ones((T, 3), jnp.float32)] if compute_grad else None
+        for f in freq_vals:
+            xf = x * f
+            s, c = jnp.sin(xf), jnp.cos(xf)
+            pe_parts += [s, c]
             if compute_grad:
-                # tangent rows get zero bias
-                biases_row.append(jnp.where(primal_sel, b[None, :], 0.0))
+                dpe_parts += [f * c, -f * s]
+        pe = jnp.concatenate(pe_parts, axis=-1)               # [T, 39]
+
+        if compute_grad:
+            dpe = jnp.concatenate(dpe_parts, axis=-1)         # [T, 39]
+            m = masks_ref[:]                                  # [3, 39]
+            tangents = [dpe * m[d:d + 1] for d in range(3)]   # 3 x [T, 39]
+            pe_rows = jnp.concatenate([pe] + tangents, axis=0)  # [4T, 39]
+        else:
+            pe_rows = pe
+
+        h = None
+        ki = 0
+        for l in range(num_layers):
+            if l == 0:
+                W = kern_refs[ki][:]; ki += 1
+                out = jax.lax.dot_general(
+                    pe_rows, W, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            elif l in skip_in:
+                Wh = kern_refs[ki][:]; ki += 1
+                Wpe = kern_refs[ki][:]; ki += 1
+                out = (jax.lax.dot_general(h, Wh, (((1,), (0,)), ((), ())),
+                                           preferred_element_type=jnp.float32)
+                       + jax.lax.dot_general(pe_rows, Wpe,
+                                             (((1,), (0,)), ((), ())),
+                                             preferred_element_type=jnp.float32))
             else:
-                biases_row.append(b[None, :])
+                W = kern_refs[ki][:]; ki += 1
+                out = jax.lax.dot_general(h, W, (((1,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+            b = bias_refs[l][batch_idx]                       # [out]
+            if compute_grad:
+                # bias applies to the primal rows only
+                out = jnp.concatenate(
+                    [out[:T] + b[None, :], out[T:]], axis=0)
+            else:
+                out = out + b[None, :]
+            if l < num_layers - 1:
+                if compute_grad:
+                    prim = out[:T]
+                    act = jax.nn.softplus(100.0 * prim) / 100.0
+                    sig = jax.nn.sigmoid(100.0 * prim)        # [T, out]
+                    sig3 = jnp.concatenate([sig, sig, sig], axis=0)
+                    out = jnp.concatenate([act, out[T:] * sig3], axis=0)
+                else:
+                    out = jax.nn.softplus(100.0 * out) / 100.0
+            h = out
 
-        _acts = {}
-
-        def sp_select(a, l):
-            # softplus(100)/100 on primal rows; tangents multiply by the
-            # primal rows' sigmoid(100a)
-            if not compute_grad:
-                return jax.nn.softplus(100.0 * a) / 100.0
-            prim = a[:T]
-            act = jax.nn.softplus(100.0 * prim) / 100.0
-            sig = jax.nn.sigmoid(100.0 * prim)                # [T, out]
-            tang = a[T:].reshape(3, T, -1) * sig[None]
-            return jnp.concatenate([act, tang.reshape(3 * T, -1)], axis=0)
-
-        out = _mlp_rows(rows, [k[:] for k in kern_refs], biases_row,
-                        skip_in, n_hidden, compute_grad, sp_select)
-
-        # assemble the padded output row block without scatters (Mosaic has
-        # no scatter lowering): [out | grad | zero pad] -> [T, 128]
-        pieces = [out[:T]]
+        # assemble padded output rows without scatters: [out | grad | pad]
+        pieces = [h[:T]]
         pad = 128 - out_width
         if compute_grad:
-            g = out[T:].reshape(3, T, -1)[:, :, 0]            # [3, T] d sdf
-            gx = g[0:1] * sign0[:, 0][None]                   # |x| chain rule
-            pieces.append(jnp.concatenate([gx, g[1:]], axis=0).T)
+            gx = h[T:2 * T, :1] * sign0                       # |x| chain rule
+            gy = h[2 * T:3 * T, :1]
+            gz = h[3 * T:, :1]
+            pieces.append(jnp.concatenate([gx, gy, gz], axis=-1))
             pad -= 3
         pieces.append(jnp.zeros((T, pad), jnp.float32))
         out_ref[0] = jnp.concatenate(pieces, axis=-1)
 
     grid = (B, n_pad // TILE_N)
-    consts = make_posenc_constants(n_freqs)
-    in_specs = [pl.BlockSpec((1, TILE_N, 3), lambda b, i: (b, i, 0),
-                             memory_space=pltpu.VMEM)]
-    in_specs += [pl.BlockSpec(c.shape, lambda b, i, nd=c.ndim: (0,) * nd,
-                              memory_space=pltpu.VMEM) for c in consts]
-    inputs = [pts, *consts]
+    in_specs = [
+        pl.BlockSpec((1, TILE_N, 3), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(masks.shape, lambda b, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [pts, masks]
     for b in biases:
         # full [B, out] block (tiny); the kernel indexes its batch row —
         # per-batch (1, out) blocks violate the sublane tiling constraint
