@@ -1,0 +1,77 @@
+"""Convergence validation: train the full graph on the synthetic dataset for
+a few hundred steps and verify losses decrease and eval Chamfer improves
+over the initialization. Writes a JSON summary.
+
+Run on TPU:  python scripts/validate_training.py [n_steps]
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
+
+
+def main(n_steps=300):
+    import numpy as np
+    from shapeclipper_tpu.config import options
+    from shapeclipper_tpu.train.trainer import Runner, _batch_to_var
+    from shapeclipper_tpu import parallel
+    from shapeclipper_tpu.utils.log import Timer, log
+
+    opt = options.load_options("options/synthetic/config.yaml")
+    opt.update(name="validate", seed=0, resume=False, load=None, tb=None,
+               batch_size=8, image_size=[64, 64], max_epoch=10 ** 6)
+    opt.H, opt.W = opt.image_size
+    opt.data.update(max_img_cat=32, num_workers=2)
+    opt.render.update(rand_sample=256, n_samples_uniform=32)
+    opt.eval.update(batch_size=2, image_size=[32, 32], vox_res=32,
+                    num_points=8192, n_vis=1)
+    opt.freq.update(scalar=10 ** 6, vis=10 ** 6, save_vis=10 ** 6,
+                    ckpt_latest=10 ** 6, eval=10 ** 6)
+    opt.output_path = "output/validate"
+    os.makedirs(opt.output_path, exist_ok=True)
+
+    runner = Runner(opt)
+    runner.load_dataset(opt)
+    runner.build_networks(opt)
+    runner.setup_optimizer(opt)
+    runner.restore_checkpoint(opt)
+    runner.best_val = np.inf
+    runner.ep = 0
+    runner.it = 0
+    runner.timer = Timer()
+
+    cd_init = runner.evaluate(opt, ep=0, training=True)
+    losses = []
+    step = 0
+    while step < n_steps:
+        runner.train_loader.set_epoch(step)
+        for batch in runner.train_loader:
+            var = parallel.shard_batch(runner.mesh, _batch_to_var(batch))
+            loss = runner.train_iteration(opt, var)
+            losses.append(float(loss["all"]))
+            step += 1
+            if step >= n_steps:
+                break
+    cd_final = runner.evaluate(opt, ep=1, training=True)
+
+    summary = dict(
+        steps=n_steps,
+        loss_first10=float(np.mean(losses[:10])),
+        loss_last10=float(np.mean(losses[-10:])),
+        cd_init=float(cd_init),
+        cd_final=float(cd_final),
+        it_per_sec=runner.timer.it_per_sec,
+    )
+    print(json.dumps(summary, indent=2))
+    with open("output/validate/summary.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    assert summary["loss_last10"] < summary["loss_first10"], "loss did not decrease"
+    assert cd_final < cd_init, "chamfer did not improve"
+    log.info("training convergence validated")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 300)

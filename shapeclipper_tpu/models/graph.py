@@ -360,9 +360,13 @@ class Graph:
                                                   emd_p=opt.reg.emd_p)
         if lw.get("cam_sym") is not None and training:
             flipped = var.rgb_input_map[:, :, ::-1, :]
+            # train-mode BN (batch statistics — a horizontal flip preserves
+            # them exactly, matching the reference's in-graph estimator call,
+            # `model/loss.py:114`); the duplicate running-stats update is
+            # dropped
             est_f, _ = self._apply_bn(
                 self.estimator, params["estimator"], stats["estimator"],
-                (flipped,), False, True)  # no BN update on the flipped pass
+                (flipped,), not bn_eval, bn_eval)
             loss.cam_sym = L.cam_sym_loss(
                 (var.trig_azim, var.trig_elev, var.trig_theta),
                 (est_f.trig_azim, est_f.trig_elev, est_f.trig_theta))

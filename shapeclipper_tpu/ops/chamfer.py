@@ -36,45 +36,46 @@ def _round_up(x, m):
 
 
 def _nn_kernel(x1_ref, x2_ref, dist_ref, idx_ref):
-    """One [TILE_N1, PAD_D] tile of A vs all of B (VMEM resident).
+    """2-D reduction grid (i over A tiles, j over B tiles) — the canonical
+    Pallas accumulation pattern: the (dist, idx) output blocks for tile i are
+    revisited across all j steps and hold the running (min, argmin).
 
-    x1_ref: [TILE_N1, PAD_D]; x2_ref: [N2pad, PAD_D];
-    dist_ref/idx_ref: [TILE_N1]... stored as [1, TILE_N1] blocks.
+    x1_ref: [TILE_N1, PAD_D]; x2_ref: [TILE_N2, PAD_D];
+    dist_ref/idx_ref: [8, TILE_N1] (sublane-aligned; row 0 is the result).
     """
+    j = pl.program_id(1)
     x1 = x1_ref[:]                                     # [T1, D]
-    n2 = x2_ref.shape[0]
-    num_tiles = n2 // TILE_N2
+    x2 = x2_ref[:]                                     # [T2, D]
+    x1_sq = jnp.sum(x1 * x1, axis=-1)                  # [T1]
+    x2_sq = jnp.sum(x2 * x2, axis=-1)                  # [T2]
+    cross = jax.lax.dot_general(
+        x1, x2,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)           # [T1, T2]
+    d = x2_sq[None, :] - 2.0 * cross                   # [T1, T2]
+    local_min = jnp.min(d, axis=1)                     # [T1]
+    # argmin via a masked second min (jnp.argmin lowers poorly on Mosaic)
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    local_arg = jnp.min(
+        jnp.where(d <= local_min[:, None], col, jnp.int32(2 ** 30)),
+        axis=1) + j * TILE_N2
+    local_dist = jnp.maximum(local_min + x1_sq, 0.0)
 
-    x1_sq = jnp.sum(x1 * x1, axis=-1, keepdims=True)   # [T1, 1]
+    @pl.when(j == 0)
+    def _():
+        dist_ref[:] = jnp.broadcast_to(local_dist[None, :], dist_ref.shape)
+        idx_ref[:] = jnp.broadcast_to(local_arg[None, :], idx_ref.shape)
 
-    def body(t, carry):
-        best_d, best_i = carry
-        x2 = x2_ref[pl.ds(t * TILE_N2, TILE_N2), :]    # [T2, D]
-        x2_sq = jnp.sum(x2 * x2, axis=-1)              # [T2]
-        cross = jax.lax.dot_general(
-            x1, x2,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)       # [T1, T2]
-        d = x2_sq[None, :] - 2.0 * cross               # [T1, T2] (+|x1|^2 later)
-        local_min = jnp.min(d, axis=1)                 # [T1]
-        # argmin via a second masked-min pass (jnp.argmin lowers poorly on
-        # Mosaic)
-        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-        local_arg = jnp.min(
-            jnp.where(d <= local_min[:, None], col, jnp.int32(2 ** 30)),
-            axis=1) + t * TILE_N2
-        take = local_min < best_d
-        return (jnp.where(take, local_min, best_d),
-                jnp.where(take, local_arg, best_i))
-
-    init = (jnp.full((x1.shape[0],), BIG, jnp.float32),
-            jnp.zeros((x1.shape[0],), jnp.int32))
-    best_d, best_i = jax.lax.fori_loop(0, num_tiles, body, init)
-    # outputs are [8, TILE_N1] blocks (sublane-aligned); row 0 is the result
-    dist_ref[:] = jnp.broadcast_to(
-        jnp.maximum(best_d + x1_sq[:, 0], 0.0)[None, :], dist_ref.shape)
-    idx_ref[:] = jnp.broadcast_to(best_i[None, :], idx_ref.shape)
+    @pl.when(j > 0)
+    def _():
+        best_d = dist_ref[0, :]
+        take = local_dist < best_d
+        dist_ref[:] = jnp.broadcast_to(
+            jnp.where(take, local_dist, best_d)[None, :], dist_ref.shape)
+        idx_ref[:] = jnp.broadcast_to(
+            jnp.where(take, local_arg, idx_ref[0, :])[None, :],
+            idx_ref.shape)
 
 
 def _nn_one_direction(x1, x2, interpret):
@@ -88,20 +89,20 @@ def _nn_one_direction(x1, x2, interpret):
     x2p = x2p.at[:n2, :3].set(x2)
     x2p = x2p.at[n2:, 0].set(1e15)
 
-    grid = (n1p // TILE_N1,)
+    grid = (n1p // TILE_N1, n2p // TILE_N2)
     dist, idx = pl.pallas_call(
         _nn_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_N1, PAD_D), lambda i: (i, 0),
+            pl.BlockSpec((TILE_N1, PAD_D), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n2p, PAD_D), lambda i: (0, 0),
+            pl.BlockSpec((TILE_N2, PAD_D), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((8, TILE_N1), lambda i: (0, i),
+            pl.BlockSpec((8, TILE_N1), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TILE_N1), lambda i: (0, i),
+            pl.BlockSpec((8, TILE_N1), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
