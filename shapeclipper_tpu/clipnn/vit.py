@@ -120,7 +120,8 @@ def load_clip_npz(params, path):
         node[keys[-1]] = val
 
     width = p["class_embedding"].shape[0]
-    heads_guess = {1024: 16, 768: 12}[width]
+    # heads read off the flax attention param shapes: kernel [W, heads, hd]
+    heads_guess = p["block0"]["attn"]["query"]["kernel"].shape[1]
 
     put(["class_embedding"], data["visual.class_embedding"])
     put(["positional_embedding"], data["visual.positional_embedding"])
