@@ -291,8 +291,15 @@ class Runner:
         else:
             self.optim_full = new_opt_state
 
-        loss_all = float(loss["all"])
-        assert bool(loss["finite"]), f"non-finite loss at iter {self.it}"
+        # one-step-delayed finite check: fetching this iteration's scalars
+        # would synchronize the pipeline every step (the reference asserts
+        # inline, `runner.py:301-302`; here the check trails by one step so
+        # dispatch of step k+1 overlaps device execution of step k)
+        if getattr(self, "_pending_loss", None) is not None:
+            pending_it, pending = self._pending_loss
+            assert bool(pending["finite"]), \
+                f"non-finite loss at iter {pending_it}"
+        self._pending_loss = (self.it, loss)
 
         if self.it % opt.freq.vis == 0 and self.tb:
             self.visualize_viz_data(opt, step=self.it, split="train")
@@ -374,29 +381,46 @@ class Runner:
         n_seen = 0
 
         for it, batch in enumerate(self.test_loader):
+            # pad ragged final batches to the compiled batch size (a new
+            # shape would trigger a full recompile of the eval programs);
+            # padded rows are sliced out of every metric below
+            n_valid = int(np.asarray(batch["idx"]).shape[0])
+            B_c = opt.eval.batch_size
+            if n_valid < B_c:
+                batch = jax.tree_util.tree_map(
+                    lambda v: np.concatenate(
+                        [v, np.repeat(v[-1:], B_c - n_valid, axis=0)]),
+                    batch)
             var = parallel.shard_batch(self.mesh, _batch_to_var(batch))
             var = self._eval_forward(self.params, self.batch_stats, var)
-            dist_acc, dist_cov = eval_3D.eval_metrics(
+            eval_3D.eval_metrics(
                 opt_e, var, self.graph.sdf_network.apply,
                 self.params["sdf_network"], rng=np.random.RandomState(it))
-            f_scores.append(np.asarray(var.f_score))
-            B = len(np.asarray(var.idx))
-            n_seen += B
-            cd_acc = np.asarray(var.cd_acc)
-            cd_comp = np.asarray(var.cd_comp)
-            for i in range(B):
+            f_scores.append(np.asarray(var.f_score)[:n_valid])
+            n_seen += n_valid
+            cd_acc = np.asarray(var.cd_acc)[:n_valid]
+            cd_comp = np.asarray(var.cd_comp)[:n_valid]
+            for i in range(n_valid):
                 cat_idx = int(np.asarray(var.category_label)[i])
                 counts_cat[cat_idx] += 1
                 acc_cat[cat_idx] += float(cd_acc[i])
                 comp_cat[cat_idx] += float(cd_comp[i])
-            metric_eval["dist_acc"] += dist_acc * B
-            metric_eval["dist_cov"] += dist_cov * B
+            metric_eval["dist_acc"] += float(cd_acc.mean()) * n_valid
+            metric_eval["dist_cov"] += float(cd_comp.mean()) * n_valid
 
             if it == 0 and training and self.viz_data:
                 if self.tb:
                     self.visualize_viz_data(opt, step=ep, split="eval")
                 self._dump_rotating_vis(opt, ep)
             if not training:
+                if n_valid < B_c:  # drop padded rows from dumps
+                    mesh_pred = var.get("mesh_pred")
+                    var = edict({
+                        k: (v[:n_valid] if getattr(v, "ndim", 0) >= 1
+                            and getattr(v, "shape", (0,))[0] == B_c else v)
+                        for k, v in var.items() if k != "mesh_pred"})
+                    if mesh_pred is not None:
+                        var.mesh_pred = mesh_pred[:n_valid]
                 self.dump_results(opt_e, var, ep, write_new=(it == 0))
 
         if not training:

@@ -119,3 +119,23 @@ def test_vis_rotate(trained_runner):
     assert len(var.rotating_imgs) == 3
     He, We = runner.graph_eval.opt.H, runner.graph_eval.opt.W
     assert var.rotating_imgs[0].shape == (2, He, We, 3)
+
+
+def test_evaluate_ragged_last_batch(tmp_path):
+    """5 eval samples at eval.batch_size=2 -> the last batch is padded to the
+    compiled shape and padded rows are excluded from metrics/reports."""
+    opt = tiny_opt(tmp_path)
+    opt.data.max_img_cat = 5
+    runner = Runner(opt)
+    runner.load_dataset(opt)
+    runner.build_networks(opt)
+    runner.setup_optimizer(opt)
+    runner.restore_checkpoint(opt)
+    val = runner.evaluate(opt, ep=1, training=False)
+    assert np.isfinite(val)
+    with open(f"{opt.output_path}/chamfer.txt") as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) == 5  # one per REAL sample, no padded duplicates
+    with open(f"{opt.output_path}/cd_cat.txt") as f:
+        cat_line = f.read().splitlines()[1].split()
+    assert int(cat_line[3]) == 5  # per-category count excludes padding
