@@ -244,14 +244,26 @@ class Runner:
         log.title("TRAINING DONE")
         log.info("Best CD: %.4f @ epoch %d" % (self.best_val, self.best_ep))
 
+    def _device_prefetch(self, loader, depth=2):
+        """Shard+device_put batches `depth` ahead of consumption: the (async)
+        host->device transfer of batch k+1 overlaps the device executing
+        step k (replaces DataLoader pin_memory/prefetch)."""
+        import collections
+        queue = collections.deque()
+        for batch in loader:
+            if self.iter_skip > 0:  # resume fast-forward, host-side only
+                self.iter_skip -= 1
+                continue
+            queue.append(parallel.shard_batch(self.mesh, _batch_to_var(batch)))
+            if len(queue) >= depth:
+                yield queue.popleft()
+        while queue:
+            yield queue.popleft()
+
     def train_epoch(self, opt):
         self.train_loader.set_epoch(self.ep)
         loss = None
-        for batch in self.train_loader:
-            if self.iter_skip > 0:  # resume fast-forward
-                self.iter_skip -= 1
-                continue
-            var = parallel.shard_batch(self.mesh, _batch_to_var(batch))
+        for var in self._device_prefetch(self.train_loader):
             loss = self.train_iteration(opt, var)
         if loss is not None:
             log.loss_train(opt, self.ep + 1, opt.optim.lr, loss["all"],
