@@ -148,3 +148,16 @@ def test_render_visualize_extras(base_opt):
     assert out.extras["points"].shape == (2, 64, S, 3)
     assert out.extras["transparency"].shape == (2, 64, S, 3)
     assert out.extras["rgb_samples"].shape == (2, 64, S, 4)
+
+
+def test_render_orthographic_smoke(base_opt):
+    opt, sdf_net, rgb_net, params, pose, intr, scale_dist, ls, lr = _setup(
+        base_opt, H=8, W=8)
+    opt.camera.model = "orthographic"
+    out = R.render(opt, sdf_net.apply, rgb_net.apply, params, pose, None,
+                   scale_dist, ls, lr, training=False)
+    assert out.rgb.shape == (2, 64, 3)
+    assert np.isfinite(np.asarray(out.rgb)).all()
+    # center ray of the ortho grid passes near the origin -> hits the sphere
+    mask = np.asarray(out.mask).reshape(2, 8, 8)
+    assert mask[0, 4, 4] > 0.5
