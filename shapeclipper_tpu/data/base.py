@@ -84,6 +84,29 @@ class Dataset:
                           shard_id=shard_id, num_shards=num_shards, seed=seed)
 
 
+def select_nn_views(opt, query_mask_sampled, nn_masks_sampled, rng):
+    """Host-side IoU-weighted sampling (without replacement) of
+    reg.n_views of the k neighbors — identical scoring to the in-graph
+    selection (reference `model/graph.py:119-142`). With data.preselect_NN
+    the pipeline loads/ships ONLY the selected views (the reference loads
+    and uploads all k and selects on device)."""
+    q = np.asarray(query_mask_sampled, np.float32).reshape(-1)
+    ious = []
+    for m in nn_masks_sampled:
+        m = np.asarray(m, np.float32).reshape(-1)
+        inter = (m * q).sum()
+        union = (m + q - m * q + 1e-8).sum()
+        ious.append(inter / union)
+    scores = (1.0 - np.asarray(ious)) ** opt.reg.sample_temp
+    total = scores.sum()
+    if total <= 0:
+        probs = np.full(len(ious), 1.0 / len(ious))
+    else:
+        probs = scores / total
+    rng = rng or np.random
+    return rng.choice(len(ious), size=opt.reg.n_views, replace=False, p=probs)
+
+
 class DataLoader:
     """Epoch-based loader: shuffles indices, loads samples with a thread pool,
     prefetches collated batches on a background thread."""

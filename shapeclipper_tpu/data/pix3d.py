@@ -134,17 +134,20 @@ class Dataset(base.Dataset):
         normal = normal / np.maximum(norm, 1e-8)
         return normal * mask
 
-    def sample_map(self, opt, rgb_map, mask_map, normal_map, rng):
+    def sample_map(self, opt, rgb_map, mask_map, normal_map, rng,
+                   ray_idx=None):
         HW = self.H * self.W
         rgb = rgb_map.reshape(HW, 3)
         mask = mask_map.reshape(HW, 1)
         normal = normal_map.reshape(HW, 3)
-        ray_idx = None
         if self.split == "train" and opt.render.rand_sample:
-            ray_idx = sample_ray_indices(mask_map[..., 0],
-                                         opt.render.rand_sample,
-                                         opt.render.ray_uniform_fac, rng)
+            if ray_idx is None:
+                ray_idx = sample_ray_indices(mask_map[..., 0],
+                                             opt.render.rand_sample,
+                                             opt.render.ray_uniform_fac, rng)
             rgb, mask, normal = rgb[ray_idx], mask[ray_idx], normal[ray_idx]
+        else:
+            ray_idx = None
         return rgb, mask, normal, ray_idx
 
     # ------------------------------------------------------------- geometry
@@ -223,7 +226,33 @@ class Dataset(base.Dataset):
         tensors = {k: [] for k in ("rgb_input_NN", "mask_input_NN",
                                    "normal_input_NN", "ray_idx_NN",
                                    "pose_gt_NN")}
-        for i in range(opt.data.k_nearest):
+        if opt.data.get("preselect_NN") and self.split == "train":
+            # load only the neighbor MASKS, do the IoU-weighted view
+            # selection on host, then fully load just the selected views
+            nn_ray_idx, nn_masks_sampled = [], []
+            for i in range(opt.data.k_nearest):
+                c_n, name_n = neighbors[i]
+                meta_n = self.get_metadata(opt, 0, name_n, c_n)
+                m = PIL.Image.open(
+                    f"{self.path}/{meta_n['mask_path']}").convert("L")
+                m = np.asarray(m.resize((self.W, self.H)),
+                               np.float32) / 255.0
+                m = (m > 0.5).astype(np.float32)
+                ridx = sample_ray_indices(m, opt.render.rand_sample,
+                                          opt.render.ray_uniform_fac, rng) \
+                    if opt.render.rand_sample else None
+                nn_ray_idx.append(ridx)
+                nn_masks_sampled.append(
+                    m.reshape(-1)[ridx] if ridx is not None else m)
+            selected = base.select_nn_views(
+                opt, sample["mask_input"], nn_masks_sampled, rng)
+            neighbors = [neighbors[j] for j in selected]
+            preselected_ray_idx = [nn_ray_idx[j] for j in selected]
+            k_range = len(neighbors)
+        else:
+            preselected_ray_idx = None
+            k_range = opt.data.k_nearest
+        for i in range(k_range):
             c_n, name_n = neighbors[i]
             meta_n = self.get_metadata(opt, 0, name_n, c_n)
             image_n = self.get_image(meta_n)
@@ -233,7 +262,9 @@ class Dataset(base.Dataset):
             maps["mask_input_map_NN"].append(mask_map_n)
             maps["normal_input_map_NN"].append(normal_map_n)
             rgb_n, mask_n, normal_n, ray_idx_n = self.sample_map(
-                opt, rgb_map_n, mask_map_n, normal_map_n, rng)
+                opt, rgb_map_n, mask_map_n, normal_map_n, rng,
+                ray_idx=(preselected_ray_idx[i]
+                         if preselected_ray_idx is not None else None))
             tensors["rgb_input_NN"].append(rgb_n)
             tensors["mask_input_NN"].append(mask_n)
             tensors["normal_input_NN"].append(normal_n)

@@ -71,18 +71,20 @@ class Dataset(base.Dataset):
         p /= np.maximum(np.linalg.norm(p, axis=-1, keepdims=True), 1e-8)
         return (p * radii[None]).astype(np.float32)
 
-    def _sample_map(self, rgb_map, mask_map, normal_map, rng):
+    def _sample_map(self, rgb_map, mask_map, normal_map, rng, ray_idx=None):
         opt = self.opt
         HW = self.H * self.W
         rgb = rgb_map.reshape(HW, 3)
         mask = mask_map.reshape(HW, 1)
         normal = normal_map.reshape(HW, 3)
-        ray_idx = None
         if self.split == "train" and opt.render.rand_sample:
-            ray_idx = sample_ray_indices(mask_map[..., 0],
-                                         opt.render.rand_sample,
-                                         opt.render.ray_uniform_fac, rng)
+            if ray_idx is None:
+                ray_idx = sample_ray_indices(mask_map[..., 0],
+                                             opt.render.rand_sample,
+                                             opt.render.ray_uniform_fac, rng)
             rgb, mask, normal = rgb[ray_idx], mask[ray_idx], normal[ray_idx]
+        else:
+            ray_idx = None
         return rgb, mask, normal, ray_idx
 
     def __getitem__(self, idx):
@@ -113,13 +115,31 @@ class Dataset(base.Dataset):
 
         # neighbors: the next K samples (wrap-around)
         K = opt.data.k_nearest
+        neighbor_ids = [(idx + k) % len(self.list) for k in range(1, K + 1)]
+        pre_ray_idx = None
+        if opt.data.get("preselect_NN") and self.split == "train":
+            pre, masks_sampled = [], []
+            for j in neighbor_ids:
+                _, m_map, _ = self._render_maps(j)
+                ridx = sample_ray_indices(
+                    m_map[..., 0], opt.render.rand_sample,
+                    opt.render.ray_uniform_fac, rng) \
+                    if opt.render.rand_sample else None
+                pre.append(ridx)
+                masks_sampled.append(m_map.reshape(-1, 1)[ridx]
+                                     if ridx is not None else m_map)
+            sel = base.select_nn_views(opt, sample["mask_input"],
+                                       masks_sampled, rng)
+            neighbor_ids = [neighbor_ids[s] for s in sel]
+            pre_ray_idx = [pre[s] for s in sel]
         nn_maps, nn_masks, nn_normals = [], [], []
         nn_rgb, nn_m, nn_n, nn_ridx, nn_pose = [], [], [], [], []
-        for k in range(1, K + 1):
-            j = (idx + k) % len(self.list)
+        for k, j in enumerate(neighbor_ids):
             r_map, m_map, n_map = self._render_maps(j)
             nn_maps.append(r_map); nn_masks.append(m_map); nn_normals.append(n_map)
-            r, m, n, ridx = self._sample_map(r_map, m_map, n_map, rng)
+            r, m, n, ridx = self._sample_map(
+                r_map, m_map, n_map, rng,
+                ray_idx=(pre_ray_idx[k] if pre_ray_idx is not None else None))
             nn_rgb.append(r); nn_m.append(m); nn_n.append(n)
             if ridx is not None:
                 nn_ridx.append(ridx)

@@ -253,25 +253,31 @@ class Graph:
         """CLIP nearest-neighbor consistency branch (reference
         `model/graph.py:114-218`). NN tensors are stacked [B, K, ...]."""
         opt = self.opt
-        K = opt.data.k_nearest
+        K = var.rgb_input_map_NN.shape[1]
         V = opt.reg.n_views
         assert V <= K
         B = var.rgb_input_map.shape[0]
 
-        # IoU-scored selection weights (no gradient)
-        cur_masks = jax.lax.stop_gradient(
-            var.mask_input_NN.reshape(B, K, -1))          # [B,K,N]
-        inp_mask = jax.lax.stop_gradient(
-            var.mask_input.reshape(B, 1, -1))
-        inter = jnp.sum(cur_masks * inp_mask, axis=-1)
-        union = jnp.sum(cur_masks + inp_mask - cur_masks * inp_mask + 1e-8,
-                        axis=-1)
-        scores = (1.0 - inter / union) ** opt.reg.sample_temp  # [B,K]
-        # Gumbel top-k == weighted sampling without replacement
-        logp = jnp.log(jnp.maximum(scores, 1e-20))
-        gumbel = -jnp.log(-jnp.log(
-            jax.random.uniform(rng_select, (B, K), minval=1e-20, maxval=1.0)))
-        _, idx_NN = jax.lax.top_k(logp + gumbel, V)        # [B,V]
+        if K == V:
+            # the data pipeline pre-selected the views (data.preselect_NN):
+            # only the chosen views were loaded/uploaded
+            idx_NN = jnp.broadcast_to(jnp.arange(V)[None], (B, V))
+        else:
+            # IoU-scored selection weights (no gradient), reference
+            # `model/graph.py:119-142`
+            cur_masks = jax.lax.stop_gradient(
+                var.mask_input_NN.reshape(B, K, -1))          # [B,K,N]
+            inp_mask = jax.lax.stop_gradient(
+                var.mask_input.reshape(B, 1, -1))
+            inter = jnp.sum(cur_masks * inp_mask, axis=-1)
+            union = jnp.sum(cur_masks + inp_mask - cur_masks * inp_mask
+                            + 1e-8, axis=-1)
+            scores = (1.0 - inter / union) ** opt.reg.sample_temp  # [B,K]
+            # Gumbel top-k == weighted sampling without replacement
+            logp = jnp.log(jnp.maximum(scores, 1e-20))
+            gumbel = -jnp.log(-jnp.log(jax.random.uniform(
+                rng_select, (B, K), minval=1e-20, maxval=1.0)))
+            _, idx_NN = jax.lax.top_k(logp + gumbel, V)        # [B,V]
 
         def take(arr, v):
             # arr: [B, K, ...] -> [B, ...] at per-sample index idx_NN[:, v]

@@ -173,3 +173,48 @@ def test_id_filename_mapping(pix3d_root, tmp_path):
     assert len(lines) == N_SAMPLES
     assert lines[0].split()[0] == "0"
     assert "img_processed" in lines[0]
+
+
+def test_preselect_nn_views(pix3d_root):
+    opt = _opt(pix3d_root)
+    opt.data.preselect_NN = True
+    opt.reg.n_views = 1
+    ds = pix3d.Dataset(opt, split="train")
+    s = ds[0]
+    # only the selected view is loaded/stacked
+    assert s["rgb_input_map_NN"].shape == (1, 32, 32, 3)
+    assert s["ray_idx_NN"].shape == (1, 64)
+    assert s["pose_gt_NN"].shape == (1, 3, 4)
+
+    # graph consumes the preselected stack (K == n_views -> no resampling)
+    import jax
+    import jax.numpy as jnp
+    from shapeclipper_tpu.data.base import default_collate
+    from shapeclipper_tpu.models.graph import Graph, summarize_loss
+    from shapeclipper_tpu.utils.easydict import EasyDict as edict
+    opt.render.n_samples_uniform = 8
+    opt.tpu.encoder_dtype = "float32"
+    batch = default_collate([ds[0], ds[1]])
+    batch = edict({k: jnp.asarray(v) for k, v in batch.items()})
+    graph = Graph(opt)
+    state = graph.init(jax.random.PRNGKey(0))
+    _, loss, _ = graph.forward(state["params"], state["batch_stats"], batch,
+                               jax.random.PRNGKey(1), training=True)
+    loss = summarize_loss(opt, loss)
+    assert bool(loss.finite)
+    assert "nearest_img" in loss
+
+
+def test_preselect_distribution_prefers_low_iou(pix3d_root):
+    """Selection probability must favor neighbors with LOW mask IoU to the
+    query (score = (1 - iou)^temp), matching the in-graph sampler."""
+    from shapeclipper_tpu.data.base import select_nn_views
+    from shapeclipper_tpu.utils.easydict import EasyDict as edict
+    opt = edict(reg=edict(sample_temp=4, n_views=1))
+    q = np.ones(64, np.float32)
+    similar = np.ones(64, np.float32)          # iou 1 -> score 0
+    dissimilar = np.zeros(64, np.float32)      # iou 0 -> score 1
+    rng = np.random.RandomState(0)
+    picks = [select_nn_views(opt, q, [similar, dissimilar], rng)[0]
+             for _ in range(20)]
+    assert all(p == 1 for p in picks)
