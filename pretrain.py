@@ -20,6 +20,15 @@ def main():
     opt = options.set(opt_cmd=opt_cmd)
     options.save_options_file(opt)
 
+    if opt.pre.viewpoint and opt.data.dataset == "pix3d":
+        root = opt.data.get("root", "data/Pix3D")
+        if not os.path.isdir(os.path.join(root, "lists")):
+            log.warn(f"Pix3D assets not found under {root} — disabling the "
+                     "viewpoint-uniformity loss (density-only pretraining; "
+                     "sphere init does not need images, reference "
+                     "model/pretrainer.py:174-181)")
+            opt.pre.viewpoint = False
+
     trainer = Runner(opt)
     if opt.pre.viewpoint:
         trainer.load_dataset(opt)
