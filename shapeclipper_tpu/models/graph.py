@@ -17,7 +17,7 @@ Gumbel top-k under `jax.random`, keeping the step fully on device.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ the second BN's scale so the block starts as identity.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 
 class BottleneckLinear(nn.Module):

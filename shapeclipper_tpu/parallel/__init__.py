@@ -13,7 +13,6 @@ the host data pipeline with (jax.process_index(), jax.process_count()).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -14,7 +14,6 @@ import numpy as np
 import PIL.Image
 
 from ..eval3d.isosurface import write_ply
-from .. import camera as camera_mod
 
 
 def to_uint8(images, from_range=(0, 1)):
