@@ -149,12 +149,37 @@ class Graph:
                          latent_proj_rgb=s_pr)
         return proj_sdf, proj_rgb, latent_raw, new_stats
 
+    def _implicit_applies(self):
+        """(sdf_apply, rgb_apply), optionally compute-casting the implicit
+        MLPs to tpu.implicit_dtype (opt-in, ~10% step win; bf16 adds noise to
+        SDF spatial gradients — eikonal/normal supervision — so f32 is the
+        default)."""
+        dtype = _dtype_from_str(self.opt.get("tpu", {}).get("implicit_dtype"))
+        if dtype == jnp.float32:
+            return self.sdf_network.apply, self.rgb_network.apply
+        sdf_f, rgb_f = self.sdf_network.apply, self.rgb_network.apply
+
+        def cast(tree):
+            return jax.tree_util.tree_map(lambda x: x.astype(dtype), tree)
+
+        def sdf_apply(v, pts, lat):
+            return sdf_f(cast(v), pts.astype(dtype),
+                         lat.astype(dtype)).astype(jnp.float32)
+
+        def rgb_apply(v, pts, lat, feat):
+            return rgb_f(cast(v), pts.astype(dtype), lat.astype(dtype),
+                         feat.astype(dtype)).astype(jnp.float32)
+
+        return sdf_apply, rgb_apply
+
     def render(self, params, pose, intr, scale_dist, proj_sdf, proj_rgb,
                ray_idx, rng, training, visualize=False):
+        sdf_apply, rgb_apply = self._implicit_applies()
+
         def run(params, pose, intr, scale_dist, proj_sdf, proj_rgb, ray_idx,
                 rng):
             return renderlib.render(
-                self.opt, self.sdf_network.apply, self.rgb_network.apply,
+                self.opt, sdf_apply, rgb_apply,
                 params, pose, intr, scale_dist, proj_sdf, proj_rgb,
                 ray_idx=ray_idx, rng=rng, training=training,
                 visualize=visualize)

@@ -139,3 +139,32 @@ def test_evaluate_ragged_last_batch(tmp_path):
     with open(f"{opt.output_path}/cd_cat.txt") as f:
         cat_line = f.read().splitlines()[1].split()
     assert int(cat_line[3]) == 5  # per-category count excludes padding
+
+
+def test_implicit_bf16_option(tmp_path):
+    """tpu.implicit_dtype=bfloat16 runs and stays close to the f32 loss."""
+    import jax
+    import jax.numpy as jnp
+    from shapeclipper_tpu.data import synthetic
+    from shapeclipper_tpu.data.base import default_collate
+    from shapeclipper_tpu.models.graph import Graph, summarize_loss
+
+    opt = tiny_opt(tmp_path)
+    ds = synthetic.Dataset(opt, split="train")
+    batch = default_collate([ds[0], ds[1]])
+    batch = edict({k: jnp.asarray(v) for k, v in batch.items()})
+
+    losses = {}
+    for dtype in ("float32", "bfloat16"):
+        o = opt.deepcopy()
+        o.tpu.implicit_dtype = dtype
+        graph = Graph(o)
+        state = graph.init(jax.random.PRNGKey(0))
+        _, loss, _ = graph.forward(state["params"], state["batch_stats"],
+                                   batch, jax.random.PRNGKey(1),
+                                   training=True)
+        loss = summarize_loss(o, loss)
+        assert bool(loss.finite)
+        losses[dtype] = float(loss.all)
+    assert abs(losses["bfloat16"] - losses["float32"]) < 0.15 * (
+        abs(losses["float32"]) + 1e-3)
