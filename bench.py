@@ -8,16 +8,17 @@ viewpoint estimator, k_nearest=5, n_views=1. Synthetic image data is used so
 the number is pure device throughput (the reference's host dataloader is
 overlapped/prefetched in real training).
 
-Baseline: the reference publishes no throughput numbers (BASELINE.md). The
-driver north star is ">=5x A100 training throughput"; we take an estimated
-2.0 it/s for the PyTorch reference on one A100 at this config (double
--backward SDF rendering dominates) and report vs_baseline against the 5x
-target-denominator of 2.0 it/s, i.e. vs_baseline = value / 2.0 — >=10 means
-the 5x goal is met.
+Baseline: the reference publishes no throughput numbers (BASELINE.md), so
+there is NO measured denominator. vs_baseline divides by an ASSUMED 2.0 it/s
+for the PyTorch reference on one A100 at this config (an estimate, labeled as
+such in the JSON) — the honest primary numbers are `value` (it/s/chip),
+`step_ms`, `flops_per_step` (XLA cost analysis), and `mfu` (vs. the chip's
+bf16 peak; conservative since the implicit MLPs run f32).
 
 Prints ONE JSON line:
   {"metric": "pix3d_train_iters_per_sec_per_chip", "value": N,
-   "unit": "it/s", "vs_baseline": N/2.0}
+   "unit": "it/s", "vs_baseline": N/2.0, "step_ms": ..., "flops_per_step":
+   ..., "mfu": ..., "device": ..., "baseline_note": "..."}
 """
 
 import json
@@ -89,6 +90,19 @@ def main():
                                                   batch, r)
     float(np.asarray(loss_all))
 
+    # measured FLOPs/step from XLA's cost model (same compiled executable —
+    # the compile cache hits)
+    flops = None
+    try:
+        rng_probe = jax.random.PRNGKey(2)
+        cost = step.lower(params, stats, opt_state, batch,
+                          rng_probe).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost["flops"]) if cost and "flops" in cost else None
+    except Exception:
+        pass
+
     n_iters = int(os.environ.get("SCL_BENCH_ITERS", "20"))
     t0 = time.perf_counter()
     for _ in range(n_iters):
@@ -99,11 +113,27 @@ def main():
     dt = time.perf_counter() - t0
 
     its = n_iters / dt / max(n_chips, 1)
+    step_s = dt / n_iters
+    # bf16 peak FLOP/s per chip (public specs); f32 work runs at half or less,
+    # so this MFU is a conservative lower bound
+    kind = jax.devices()[0].device_kind.lower()
+    peaks = {"v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12, "v5": 459e12,
+             "v6 lite": 918e12, "v6e": 918e12, "v4": 275e12, "v3": 123e12}
+    peak = next((v for k, v in sorted(peaks.items(), key=lambda kv: -len(kv[0]))
+                 if k in kind), None)
+    mfu = (flops / step_s / (peak * max(n_chips, 1))
+           if flops and peak else None)
     print(json.dumps({
         "metric": "pix3d_train_iters_per_sec_per_chip",
         "value": round(its, 4),
         "unit": "it/s",
         "vs_baseline": round(its / ASSUMED_A100_REFERENCE_ITS, 4),
+        "step_ms": round(step_s * 1000, 3),
+        "flops_per_step": flops,
+        "mfu": round(mfu, 5) if mfu is not None else None,
+        "device": jax.devices()[0].device_kind,
+        "baseline_note": ("vs_baseline divides by an ASSUMED 2.0 it/s A100 "
+                          "reference (nothing published; BASELINE.md)"),
     }))
 
 

@@ -2,7 +2,10 @@
 a few hundred steps and verify losses decrease and eval Chamfer improves
 over the initialization. Writes a JSON summary.
 
-Run on TPU:  python scripts/validate_training.py [n_steps]
+Run on TPU:  python scripts/validate_training.py [n_steps] [--seed=N]
+             [--implicit_dtype=bfloat16] [--tag=name]
+
+The seed/dtype flags drive the bf16-implicit A/B (VERDICT round-1 item 4).
 """
 
 import json
@@ -13,7 +16,7 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                 "..")))
 
 
-def main(n_steps=300):
+def main(n_steps=300, seed=0, implicit_dtype=None, tag=""):
     import numpy as np
     from shapeclipper_tpu.config import options
     from shapeclipper_tpu.train.trainer import Runner, _batch_to_var
@@ -21,8 +24,10 @@ def main(n_steps=300):
     from shapeclipper_tpu.utils.log import Timer, log
 
     opt = options.load_options("options/synthetic/config.yaml")
-    opt.update(name="validate", seed=0, resume=False, load=None, tb=None,
+    opt.update(name="validate", seed=seed, resume=False, load=None, tb=None,
                batch_size=8, image_size=[64, 64], max_epoch=10 ** 6)
+    if implicit_dtype:
+        opt.tpu.implicit_dtype = implicit_dtype
     opt.H, opt.W = opt.image_size
     opt.data.update(max_img_cat=32, num_workers=2)
     opt.render.update(rand_sample=256, n_samples_uniform=32)
@@ -30,7 +35,7 @@ def main(n_steps=300):
                     num_points=8192, n_vis=1)
     opt.freq.update(scalar=10 ** 6, vis=10 ** 6, save_vis=10 ** 6,
                     ckpt_latest=10 ** 6, eval=10 ** 6)
-    opt.output_path = "output/validate"
+    opt.output_path = f"output/validate{tag}"
     os.makedirs(opt.output_path, exist_ok=True)
 
     runner = Runner(opt)
@@ -58,7 +63,7 @@ def main(n_steps=300):
     cd_final = runner.evaluate(opt, ep=1, training=True)
 
     summary = dict(
-        steps=n_steps,
+        steps=n_steps, seed=seed, implicit_dtype=implicit_dtype or "float32",
         loss_first10=float(np.mean(losses[:10])),
         loss_last10=float(np.mean(losses[-10:])),
         cd_init=float(cd_init),
@@ -66,7 +71,7 @@ def main(n_steps=300):
         it_per_sec=runner.timer.it_per_sec,
     )
     print(json.dumps(summary, indent=2))
-    with open("output/validate/summary.json", "w") as f:
+    with open(f"{opt.output_path}/summary.json", "w") as f:
         json.dump(summary, f, indent=2)
     assert summary["loss_last10"] < summary["loss_first10"], "loss did not decrease"
     assert cd_final < cd_init, "chamfer did not improve"
@@ -74,4 +79,7 @@ def main(n_steps=300):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 300)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    kw = dict(a[2:].split("=", 1) for a in sys.argv[1:] if a.startswith("--"))
+    main(int(args[0]) if args else 300, seed=int(kw.get("seed", 0)),
+         implicit_dtype=kw.get("implicit_dtype"), tag=kw.get("tag", ""))

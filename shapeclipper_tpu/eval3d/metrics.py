@@ -37,10 +37,15 @@ def dense_grid_points(opt, N=None):
     return pts.reshape(-1, 3)
 
 
-@partial(jax.jit, static_argnames=("sdf_apply", "n_chunks"))
-def _eval_grid_chunked(sdf_apply, params_sdf, points, latent, n_chunks):
+@partial(jax.jit, static_argnames=("sdf_apply", "n_chunks", "fused_cfg"))
+def _eval_grid_chunked(sdf_apply, params_sdf, points, latent, n_chunks,
+                       fused_cfg=None):
     """points: [P, 3] (P divisible by n_chunks), latent: [B, C] ->
-    sdf [B, P]. Scans over chunks to bound peak activation memory."""
+    sdf [B, P]. Scans over chunks to bound peak activation memory.
+
+    `fused_cfg` = (n_freqs, skip_in, n_hidden, force_symmetry) routes the
+    chunk through the fused Pallas SDF kernel (ops/fused_sdf.py) — the whole
+    MLP stays in VMEM per tile; None keeps the plain XLA apply."""
     B = latent.shape[0]
     P = points.shape[0]
     chunk = P // n_chunks
@@ -48,6 +53,14 @@ def _eval_grid_chunked(sdf_apply, params_sdf, points, latent, n_chunks):
 
     def body(carry, pts_chunk):
         p = jnp.broadcast_to(pts_chunk[None], (B, chunk, 3))
+        if fused_cfg is not None:
+            from ..ops.fused_sdf import fused_sdf_forward
+            n_freqs, skip_in, n_hidden, force_symmetry = fused_cfg
+            sdf, _, _ = fused_sdf_forward(
+                params_sdf, p, latent, n_freqs=n_freqs, skip_in=skip_in,
+                n_hidden=n_hidden, compute_grad=False,
+                force_symmetry=force_symmetry)
+            return carry, sdf[..., 0]
         out = sdf_apply({"params": params_sdf}, p, latent)
         return carry, out[..., 0]
 
@@ -55,17 +68,37 @@ def _eval_grid_chunked(sdf_apply, params_sdf, points, latent, n_chunks):
     return jnp.moveaxis(sdf, 1, 0).reshape(B, P)
 
 
+def _fused_eval_cfg(opt):
+    """Pallas-kernel config when the fused eval path should be used, else
+    None. Default: on for TPU backends (override with opt.tpu.fused_eval
+    or SCL_FUSED_EVAL=0/1)."""
+    import os
+    env = os.environ.get("SCL_FUSED_EVAL")
+    enabled = (opt.get("tpu", {}).get("fused_eval", True)
+               if env is None else env != "0")
+    if not enabled or jax.default_backend() != "tpu":
+        return None
+    a = opt.arch.impl_sdf
+    if a.get("weight_norm") or a.pos_enc <= 0:
+        return None
+    return (a.pos_enc, tuple(a.skip_connection), a.n_hidden_layers,
+            bool(opt.arch.force_symmetry))
+
+
 def compute_level_grid(opt, sdf_apply, params_sdf, proj_latent_sdf, N=None):
     """[B, (N+1)^3] SDF values -> reshaped [B, N+1, N+1, N+1]."""
     N = N or opt.eval.vox_res
     pts = dense_grid_points(opt, N)
     P = pts.shape[0]
-    # chunk to ~128k points
+    fused_cfg = _fused_eval_cfg(opt)
+    # chunk to ~128k points (32k on the fused path: its output tile is
+    # padded to 128 lanes, so smaller chunks bound the transient buffer)
+    limit = 32768 if fused_cfg is not None else 131072
     n_chunks = 1
-    while P // n_chunks > 131072 or P % n_chunks:
+    while P // n_chunks > limit or P % n_chunks:
         n_chunks += 1
     sdf = _eval_grid_chunked(sdf_apply, params_sdf, pts, proj_latent_sdf,
-                             n_chunks)
+                             n_chunks, fused_cfg=fused_cfg)
     return sdf.reshape(-1, N + 1, N + 1, N + 1)
 
 

@@ -94,7 +94,60 @@ class Graph:
             "latent_proj_shape": v_ps.get("batch_stats", {}),
             "latent_proj_rgb": v_pr.get("batch_stats", {}),
         }
+        params, batch_stats = self._load_pretrained_encoders(params,
+                                                             batch_stats)
         return {"params": params, "batch_stats": batch_stats}
+
+    def _load_pretrained_encoders(self, params, batch_stats):
+        """ImageNet-pretrained initialization from converted .npz artifacts
+        (scripts/convert_weights.py). Parity: the reference initializes the
+        image encoder from torchvision pretrained weights gated by
+        arch.enc_pretrained (reference `model/graph.py:50-51`) and the
+        estimator's ResNet18 backbone pretrained unconditionally
+        (`model/view_estimator.py:41`). With no network access, weights are
+        offline artifacts; a configured-but-missing artifact degrades to
+        scratch init with a loud warning."""
+        import os
+
+        from ..utils.log import log
+        from .resnet import load_pretrained_npz, merge_tree
+
+        opt = self.opt
+        jobs = []
+        if opt.arch.get("enc_pretrained"):
+            jobs.append(("encoder", (),
+                         opt.arch.get("enc_weights")
+                         or f"weights/{opt.arch.enc_network}.npz"))
+            jobs.append(("estimator", ("ResNet_0",),
+                         opt.arch.get("est_weights")
+                         or "weights/resnet18.npz"))
+        for top, sub, path in jobs:
+            if not os.path.isfile(path):
+                log.warn(f"arch.enc_pretrained is set but {path} is missing "
+                         f"— {top} trains from scratch (convert weights with "
+                         f"scripts/convert_weights.py; see RUNBOOK.md)")
+                continue
+            node_p = params[top]
+            node_s = batch_stats[top]
+            for k in sub:
+                node_p, node_s = node_p[k], node_s[k]
+            new_p, stats_updates = load_pretrained_npz(node_p, path,
+                                                       skip_fc=True)
+            new_s = merge_tree(node_s, stats_updates)
+
+            def set_subtree(holder, value):
+                if not sub:
+                    holder[top] = value
+                    return
+                node = holder[top] = dict(holder[top])
+                for k in sub[:-1]:
+                    node = node[k] = dict(node[k])
+                node[sub[-1]] = value
+
+            set_subtree(params, new_p)
+            set_subtree(batch_stats, new_s)
+            log.info(f"loaded pretrained {top} weights from {path}")
+        return params, batch_stats
 
     # --------------------------------------------------------------- helpers
     def _apply_bn(self, module, params, stats, args, train, bn_eval):
@@ -173,7 +226,7 @@ class Graph:
         return sdf_apply, rgb_apply
 
     def render(self, params, pose, intr, scale_dist, proj_sdf, proj_rgb,
-               ray_idx, rng, training, visualize=False):
+               ray_idx, rng, training, visualize=False, compute_eikonal=None):
         sdf_apply, rgb_apply = self._implicit_applies()
 
         def run(params, pose, intr, scale_dist, proj_sdf, proj_rgb, ray_idx,
@@ -182,7 +235,7 @@ class Graph:
                 self.opt, sdf_apply, rgb_apply,
                 params, pose, intr, scale_dist, proj_sdf, proj_rgb,
                 ray_idx=ray_idx, rng=rng, training=training,
-                visualize=visualize)
+                visualize=visualize, compute_eikonal=compute_eikonal)
 
         if training and self.opt.get("tpu", {}).get("remat_renderer"):
             # rematerialize renderer activations in the backward pass (trades
@@ -303,6 +356,7 @@ class Graph:
             gumbel = -jnp.log(-jnp.log(jax.random.uniform(
                 rng_select, (B, K), minval=1e-20, maxval=1.0)))
             _, idx_NN = jax.lax.top_k(logp + gumbel, V)        # [B,V]
+        var.idx_NN = idx_NN  # which neighbors were selected (for vis)
 
         def take(arr, v):
             # arr: [B, K, ...] -> [B, ...] at per-sample index idx_NN[:, v]
@@ -342,13 +396,24 @@ class Graph:
 
             ray_idx = sel.get("ray_idx") if (opt.render.rand_sample
                                              and training) else None
+            # compute_eikonal=False: NN-view eikonal gradients are never read
+            # by any loss (eikonal uses only the query view's grad_eikonal)
             out = self.render(params, pose_NN, intr_NN, est_NN.scale_dist,
                               var.proj_latent_sdf, proj_rgb_NN, ray_idx,
-                              rngs_r[v], training)
+                              rngs_r[v], training, compute_eikonal=False)
             var[f"rgb_recon_NN_{v}"] = out.rgb
             var[f"mask_recon_NN_{v}"] = out.mask
             var[f"depth_recon_NN_{v}"] = out.depth
             var[f"normal_recon_NN_{v}"] = out.normal
+            if not (opt.render.rand_sample and training):
+                # full-grid NN renders -> TB panels (reference
+                # `model/graph.py:211-217`)
+                var[f"rgb_recon_map_NN_{v}"] = out.rgb.reshape(
+                    B, opt.H, opt.W, 3)
+                var[f"mask_recon_map_NN_{v}"] = out.mask.reshape(
+                    B, opt.H, opt.W, 1)
+                var[f"normal_recon_map_NN_{v}"] = out.normal.reshape(
+                    B, opt.H, opt.W, 3)
 
             stats = dict(stats)
             stats.update(encoder=s_enc, latent_proj_rgb=s_pr, estimator=s_est)

@@ -170,3 +170,14 @@ def _to_mutable(tree):
     if isinstance(tree, dict):
         return {k: _to_mutable(v) for k, v in tree.items()}
     return tree
+
+
+def merge_tree(dst, updates):
+    """Recursively merge `updates` leaves into (a copy of) `dst`."""
+    out = dict(dst)
+    for k, v in updates.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = merge_tree(out[k], v)
+        else:
+            out[k] = v
+    return out

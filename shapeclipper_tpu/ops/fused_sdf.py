@@ -73,6 +73,86 @@ def _coord_masks(n_freqs):
     return np.concatenate(blocks, axis=1)
 
 
+def sdf_fwdmode_xla(params_sdf, points, latent, n_freqs=6, skip_in=(1, 2),
+                    n_hidden=5, compute_grad=True, force_symmetry=True,
+                    detach_latent=False, dtype=jnp.float32):
+    """SDF + spatial gradient via hand-rolled forward-mode tangents, pure XLA.
+
+    points: [B, N, 3]; latent: [B, C] -> (sdf [B,N,1], feat [B,N,C],
+    grad [B,N,3] or None).
+
+    Same math as the Pallas kernel above (rows = [primal; tangent_x; _y; _z]
+    batched into each layer's matmul), but expressed in jnp so XLA fuses it —
+    and, crucially, so the TRAINING backward through the spatial gradient is a
+    single plain reverse pass over a 4x-wide first-order forward instead of
+    the nested vjp-of-vjp the `sdf_with_gradient` formulation needs (the
+    reference needed `torch.autograd.grad(create_graph=True)` double
+    backward, `model/renderer.py:93-107`). Numerically identical to
+    `sdf_with_gradient` up to fp reassociation.
+    """
+    if detach_latent:
+        latent = jax.lax.stop_gradient(latent)
+    kernels, biases = prepare_fused_params(params_sdf, latent, n_freqs,
+                                           skip_in, n_hidden)
+    if dtype != jnp.float32:
+        cast = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda a: None if a is None else a.astype(dtype), t,
+            is_leaf=lambda a: a is None)
+        kernels, biases, points, = cast(kernels), cast(biases), cast(points)
+    x = points
+    if force_symmetry:
+        sign0 = jnp.where(x[..., :1] < 0, -1.0, 1.0)          # [B,N,1]
+        x = jnp.concatenate([jnp.abs(x[..., :1]), x[..., 1:]], axis=-1)
+
+    pe_parts = [x]
+    dpe_parts = [jnp.ones_like(x)] if compute_grad else None
+    for k in range(n_freqs):
+        f = 2.0 ** k
+        xf = x * f
+        s, c = jnp.sin(xf), jnp.cos(xf)
+        pe_parts += [s, c]
+        if compute_grad:
+            dpe_parts += [f * c, -f * s]
+    pe = jnp.concatenate(pe_parts, axis=-1)                    # [B,N,D]
+    if compute_grad:
+        dpe = jnp.concatenate(dpe_parts, axis=-1)              # [B,N,D]
+        m = jnp.asarray(_coord_masks(n_freqs), dtype=pe.dtype)  # [3,D]
+        tangents = dpe[:, None] * m[None, :, None]             # [B,3,N,D]
+        rows = jnp.concatenate([pe[:, None], tangents], axis=1)  # [B,4,N,D]
+    else:
+        rows = pe[:, None]                                     # [B,1,N,D]
+
+    h = None
+    prim = None
+    for l in range(n_hidden + 1):
+        Ka, Kb = kernels[l]
+        if l == 0:
+            out = rows @ Ka                                    # [B,R,N,W]
+        elif l in skip_in:
+            out = h @ Ka + rows @ Kb
+        else:
+            out = h @ Ka
+        prim = out[:, 0] + biases[l][:, None]                  # [B,N,W]
+        if l < n_hidden:
+            act = jax.nn.softplus(100.0 * prim) / 100.0
+            if compute_grad:
+                sig = jax.nn.sigmoid(100.0 * prim)
+                h = jnp.concatenate([act[:, None], out[:, 1:] * sig[:, None]],
+                                    axis=1)
+            else:
+                h = act[:, None]
+
+    sdf = prim[..., :1].astype(jnp.float32)
+    feat = prim[..., 1:].astype(jnp.float32)
+    grad = None
+    if compute_grad:
+        g = jnp.moveaxis(out[:, 1:, :, 0], 1, -1)              # [B,N,3]
+        if force_symmetry:
+            g = jnp.concatenate([g[..., :1] * sign0, g[..., 1:]], axis=-1)
+        grad = g.astype(jnp.float32)
+    return sdf, feat, grad
+
+
 def fused_sdf_forward(params_sdf, points, latent, n_freqs=6, skip_in=(1, 2),
                       n_hidden=5, compute_grad=False, force_symmetry=True,
                       interpret=None):

@@ -37,16 +37,29 @@ def batch_sharding(mesh):
     return NamedSharding(mesh, P("data"))
 
 
-def shard_batch(mesh, batch):
+def shard_batch(mesh, batch, allow_replicate=False):
     """Device-put a host batch with the leading axis sharded over 'data'.
-    Scalars/0-d entries are replicated."""
+    Scalars/0-d entries are replicated.
+
+    A leading axis that does not divide the mesh is an ERROR unless the
+    caller explicitly opts into replication (`allow_replicate=True`, e.g.
+    single-sample visualization batches): silent replication makes every
+    device redo identical work and hides sharding mistakes. Pad the batch to
+    a mesh multiple instead (the trainer's eval loop does)."""
     data = batch_sharding(mesh)
     repl = replicate_sharding(mesh)
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim == 0 or x.shape[0] % mesh.size != 0:
+        if x.ndim == 0:
             return jax.device_put(x, repl)
+        if x.shape[0] % mesh.size != 0:
+            if allow_replicate:
+                return jax.device_put(x, repl)
+            raise ValueError(
+                f"batch leading axis {x.shape[0]} does not divide the "
+                f"{mesh.size}-device mesh; pad the batch to a mesh multiple "
+                f"or pass allow_replicate=True to replicate it explicitly")
         return jax.device_put(x, data)
 
     return jax.tree_util.tree_map(put, batch)

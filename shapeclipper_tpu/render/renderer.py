@@ -26,6 +26,34 @@ import jax.numpy as jnp
 from .. import camera
 from ..models.implicit import (laplace_density, laplace_density_dsdf,
                                sdf_with_gradient)
+from ..ops.fused_sdf import sdf_fwdmode_xla
+
+
+def _sdf_grad_fn(opt, sdf_apply, params):
+    """(points [B,N,3], latent [B,C], detach_latent) -> (sdf, feat, grad).
+
+    tpu.sdf_grad_mode selects the formulation:
+      * 'vjp' (default): nested jax.vjp (the reference's create_graph=True
+        shape, `model/renderer.py:93-107`); measured 2x FASTER than 'fwd' on
+        v5e — the 64-wide MLPs are HBM-bound and the fwd-mode rows quadruple
+        the activation traffic (see STATUS.md round-2 measurements)
+      * 'fwd': hand-rolled forward-mode tangents in one 4x-wide first-order
+        pass (ops/fused_sdf.sdf_fwdmode_xla) — the training backward is a
+        single reverse pass, not vjp-of-vjp; parity-tested to fp precision
+    """
+    mode = opt.get("tpu", {}).get("sdf_grad_mode", "vjp")
+    if mode == "vjp":
+        return lambda pts, lat, detach: sdf_with_gradient(
+            sdf_apply, params["sdf_network"], pts, lat, detach_latent=detach)
+    assert mode == "fwd", mode
+    a = opt.arch.impl_sdf
+    dtype = {"bfloat16": jnp.bfloat16}.get(
+        opt.get("tpu", {}).get("implicit_dtype"), jnp.float32)
+    return lambda pts, lat, detach: sdf_fwdmode_xla(
+        params["sdf_network"], pts, lat, n_freqs=a.pos_enc,
+        skip_in=tuple(a.skip_connection), n_hidden=a.n_hidden_layers,
+        force_symmetry=opt.arch.force_symmetry, detach_latent=detach,
+        dtype=dtype)
 
 
 class RenderOutputs(NamedTuple):
@@ -105,11 +133,19 @@ def render(
     rng: Optional[jax.Array] = None,
     training: bool = True,
     visualize: bool = False,
+    compute_eikonal: Optional[bool] = None,
 ) -> RenderOutputs:
     """Render rgb/mask/depth/normal maps (+ eikonal gradients when training).
 
+    `compute_eikonal` defaults to `training`; the NN-consistency branch passes
+    False — its eikonal gradients are never consumed by any loss (the eikonal
+    loss reads only the query view's, reference `model/graph.py:251-253`), so
+    computing them there is pure throwaway work.
+
     Reference semantics: `model/renderer.py:57-185`.
     """
+    if compute_eikonal is None:
+        compute_eikonal = training
     B = pose.shape[0]
     S = opt.render.n_samples_uniform
     assert opt.render.sampler == "uniform"
@@ -138,9 +174,8 @@ def render(
     # --- SDF + spatial gradient + density ----------------------------------
     # latent passed per-sample [B, C]; the MLP factors it into a broadcast
     # bias (no per-point repetition)
-    sdf, sdf_feat, grad_sdf = sdf_with_gradient(
-        sdf_apply, params["sdf_network"], points_flat, proj_latent_sdf,
-        detach_latent=False)
+    sdf_grad = _sdf_grad_fn(opt, sdf_apply, params)
+    sdf, sdf_feat, grad_sdf = sdf_grad(points_flat, proj_latent_sdf, False)
     beta = params["density"]["beta"]
     density = laplace_density(sdf, beta).reshape(B, R, S)
 
@@ -171,15 +206,13 @@ def render(
 
     # --- eikonal points (training only) --------------------------------------
     grad_eikonal = None
-    if training:
+    if compute_eikonal:
         lo, hi = opt.arch.impl_sdf.eikonal_sample_range
         eik_uniform = jax.random.uniform(
             rng_eik_pts, (B, R, 3), minval=lo, maxval=hi)
         eik_near = cam_loc + z_eik * ray_dirs                     # [B,R,3]
         eik_points = jnp.concatenate([eik_uniform, eik_near], axis=1)
-        _, _, grad_eik = sdf_with_gradient(
-            sdf_apply, params["sdf_network"], eik_points, proj_latent_sdf,
-            detach_latent=True)
+        _, _, grad_eik = sdf_grad(eik_points, proj_latent_sdf, True)
         grad_eikonal = jnp.linalg.norm(grad_eik, axis=-1)         # [B,2R]
 
     extras: Dict[str, Any] = {}

@@ -69,6 +69,14 @@ class Runner:
             assert opt.batch_size % self.mesh.size == 0, (
                 f"global batch {opt.batch_size} must divide the "
                 f"{self.mesh.size}-device mesh")
+            # eval batches are padded to the compiled eval batch size; round
+            # that size up to a mesh multiple so eval work is actually
+            # sharded (not silently replicated) on every device
+            eval_bs = -(-opt.eval.batch_size // self.mesh.size) * self.mesh.size
+            if eval_bs != opt.eval.batch_size:
+                log.info(f"eval.batch_size {opt.eval.batch_size} -> {eval_bs} "
+                         f"(rounded up to the {self.mesh.size}-device mesh)")
+                opt.eval.batch_size = eval_bs
 
     # ------------------------------------------------------------------ data
     def load_dataset(self, opt, eval_split="val"):
@@ -99,22 +107,21 @@ class Runner:
         viz_loader = self.test_data.setup_loader(
             opt, shuffle=True, drop_last=False,
             batch_size=opt.eval.batch_size, seed=1234)
-        viz_data = []
-        for _ in range(opt.eval.n_vis):
-            cat_samples = [0] * opt.data.num_classes
-            it = iter(viz_loader)
-            while sum(cat_samples) < n_vis_classes:
-                try:
-                    batch = next(it)
-                except StopIteration:
-                    break
-                for i, cat in enumerate(np.asarray(batch["category_label"])):
-                    if cat_samples[int(cat)] >= 1:
-                        continue
-                    cat_samples[int(cat)] += 1
-                    viz_data.append(jax.tree_util.tree_map(
-                        lambda v, i=i: v[i:i + 1], batch))
-        return viz_data
+        n_vis = opt.eval.n_vis
+        rounds = [[0] * opt.data.num_classes for _ in range(n_vis)]
+        picks = [[] for _ in range(n_vis)]
+        for batch in viz_loader:
+            for i, cat in enumerate(np.asarray(batch["category_label"])):
+                for r in range(n_vis):  # first round missing this category
+                    if (rounds[r][int(cat)] < 1
+                            and sum(rounds[r]) < n_vis_classes):
+                        rounds[r][int(cat)] += 1
+                        picks[r].append(jax.tree_util.tree_map(
+                            lambda v, i=i: v[i:i + 1], batch))
+                        break
+            if all(sum(r) >= n_vis_classes for r in rounds):
+                break
+        return [sample for r in picks for sample in r]
 
     # ------------------------------------------------------------- networks
     def build_networks(self, opt):
@@ -149,13 +156,17 @@ class Runner:
         non_act = CAMERA_PHASE_INACTIVE if camera_phase else ()
 
         def step(params, stats, opt_state, batch, rng):
+            aux_keys = (_STEP_AUX_KEYS + ("idx_NN",)
+                        + tuple(f"pose_NN_{v}" for v in range(opt.reg.n_views))
+                        + tuple(f"scale_dist_NN_{v}"
+                                for v in range(opt.reg.n_views)))
+
             def loss_fn(p):
                 var, loss, new_stats = graph.forward(
                     p, stats, batch, rng, training=True, get_loss=True,
                     bn_eval=camera_phase)
                 loss = summarize_loss(opt, loss, non_act_loss_keys=non_act)
-                aux_var = edict({k: var[k] for k in _STEP_AUX_KEYS
-                                 if k in var})
+                aux_var = edict({k: var[k] for k in aux_keys if k in var})
                 return loss.all, (loss, new_stats, aux_var)
 
             (_, (loss, new_stats, aux_var)), grads = jax.value_and_grad(
@@ -314,7 +325,12 @@ class Runner:
         self._pending_loss = (self.it, loss)
 
         if self.it % opt.freq.vis == 0 and self.tb:
-            self.visualize_viz_data(opt, step=self.it, split="train")
+            # train-split panels from the live train batch, incl. the CLIP-NN
+            # input views chosen this step (reference `runner.py:260-261`,
+            # `runner.py:449-459`)
+            train_var = edict(var)
+            train_var.update(aux_var)
+            self.visualize(opt, train_var, step=self.it, split="train")
         if (self.it + 1) % opt.freq.ckpt_latest == 0:
             self.save_checkpoint(opt, ep=self.ep, it=self.it + 1,
                                  best_val=self.best_val, latest=True)
@@ -354,8 +370,10 @@ class Runner:
 
     def visualize_viz_data(self, opt, step=0, split="train"):
         opt_e = self.graph_eval.opt
-        for i, batch in enumerate(self.viz_data[:1]):
-            var = parallel.shard_batch(self.mesh, _batch_to_var(batch))
+        for i, batch in enumerate(self.viz_data):
+            # single-sample vis batches replicate explicitly (tiny, vis-only)
+            var = parallel.shard_batch(self.mesh, _batch_to_var(batch),
+                                       allow_replicate=True)
             var_out = self._eval_forward(self.params, self.batch_stats, var)
             self.visualize(opt_e, var_out, step=step, split=split)
 
@@ -377,10 +395,39 @@ class Runner:
         if "normal_recon_map" in var:
             util_vis.tb_image(opt, self.tb, step, split, "normal_recon_map",
                               var.normal_recon_map, from_range=(-1, 1))
+        if "normal_input_map" in var:
+            util_vis.tb_image(opt, self.tb, step, split,
+                              "normal_input_viewpoint_map",
+                              var.normal_input_map, from_range=(-1, 1))
         if "normal_transformed_map" in var:
             util_vis.tb_image(opt, self.tb, step, split,
                               "normal_input_canonical_map",
                               var.normal_transformed_map, from_range=(-1, 1))
+        # CLIP-NN view panels (reference `model/runner.py:449-459`): the
+        # selected neighbor inputs (gathered host-side by idx_NN) and, when
+        # full-grid NN renders exist, their reconstructions
+        n_views = self.graph.opt.reg.n_views
+        if "idx_NN" in var and "rgb_input_map_NN" in var:
+            idx_NN = np.asarray(var.idx_NN)
+            rows = np.arange(idx_NN.shape[0])
+            for v in range(n_views):
+                sel = idx_NN[:, min(v, idx_NN.shape[1] - 1)]
+                util_vis.tb_image(
+                    opt, self.tb, step, split, f"image_input_map_NN_{v}",
+                    np.asarray(var.rgb_input_map_NN)[rows, sel],
+                    from_range=(0, 1), poses=var.get(f"pose_NN_{v}"))
+                util_vis.tb_image(
+                    opt, self.tb, step, split, f"mask_input_map_NN_{v}",
+                    np.asarray(var.mask_input_map_NN)[rows, sel])
+        if "rgb_recon_map_NN_0" in var and "mask_recon_map_NN_0" in var:
+            for v in range(n_views):
+                util_vis.tb_image(
+                    opt, self.tb, step, split, f"image_recon_map_NN_{v}",
+                    var[f"rgb_recon_map_NN_{v}"], from_range=(0, 1),
+                    poses=var.get(f"pose_NN_{v}"))
+                util_vis.tb_image(
+                    opt, self.tb, step, split, f"mask_recon_map_NN_{v}",
+                    var[f"mask_recon_map_NN_{v}"])
 
     # ------------------------------------------------------------------ eval
     def evaluate(self, opt, ep, training=False):
@@ -505,7 +552,8 @@ class Runner:
             return
         os.makedirs(f"{opt.output_path}/{folder}", exist_ok=True)
         for batch in self.viz_data:
-            var = parallel.shard_batch(self.mesh, _batch_to_var(batch))
+            var = parallel.shard_batch(self.mesh, _batch_to_var(batch),
+                                       allow_replicate=True)
             var = self._eval_forward(self.params, self.batch_stats, var)
             util_vis.dump_images(opt, var.idx, "image_input",
                                  var.rgb_input_map, from_range=(0, 1),
@@ -532,7 +580,8 @@ class Runner:
         opt_e = self.graph_eval.opt
         folder = f"vis_{ep}"
         for batch in self.viz_data:
-            var = parallel.shard_batch(self.mesh, _batch_to_var(batch))
+            var = parallel.shard_batch(self.mesh, _batch_to_var(batch),
+                                       allow_replicate=True)
             var = self._eval_forward(self.params, self.batch_stats, var)
             try:
                 eval_3D.eval_metrics(opt_e, var, self.graph.sdf_network.apply,
@@ -553,19 +602,21 @@ class Runner:
                 log.warn(f"rotating vis failed: {e}")
 
     # -------------------------------------------------------- rotating views
-    def vis_rotate(self, opt, var, n_views=50):
+    def vis_rotate(self, opt, var, n_views=50, vis_NN=False):
         """Render rotating-azimuth views for GIFs (reference
-        `runner.py:406-427`)."""
+        `runner.py:406-427`); `vis_NN` textures with the NN view's RGB latent
+        (reference `runner.py:416`)."""
         opt_e = self.graph_eval.opt
         vis_pose = self.graph.get_rotate_pose(n_views=n_views)
         B = np.asarray(var.idx).shape[0]
+        proj_rgb = var.proj_latent_rgb_NN if vis_NN else var.proj_latent_rgb
         imgs, masks, normals = [], [], []
         for i in range(n_views):
             pose_i = jnp.broadcast_to(vis_pose[i][None], (B, 3, 4))
             out = self.graph_eval.render(
                 self.params, pose_i, var.intr,
                 jnp.ones_like(var.scale_dist), var.proj_latent_sdf,
-                var.proj_latent_rgb, None, None, training=False)
+                proj_rgb, None, None, training=False)
             H, W = opt_e.H, opt_e.W
             imgs.append(np.asarray(out.rgb).reshape(B, H, W, 3))
             masks.append(np.asarray(out.mask).reshape(B, H, W, 1))

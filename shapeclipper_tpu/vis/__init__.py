@@ -87,9 +87,10 @@ def image_grid(images_uint8, num_cols=8):
 
 
 def tb_image(opt, tb, step, group, name, images, masks=None,
-             from_range=(0, 1), poses=None, intrs=None):
+             from_range=(0, 1), poses=None, intrs=None, scales=None):
     """Write an image grid to TensorBoard (reference
-    `utils/util_vis.py:16-33`)."""
+    `utils/util_vis.py:16-33`; `scales=` overlays the predicted scale as
+    text per image, `utils/util_vis.py:26-27,131-142`)."""
     images = _ensure_rgb(np.asarray(images, np.float32))
     img = to_uint8(images, from_range)
     if masks is not None:
@@ -100,13 +101,17 @@ def tb_image(opt, tb, step, group, name, images, masks=None,
             draw_pose_axes(img[i], np.asarray(poses)[i],
                            None if intrs is None else np.asarray(intrs)[i])
             for i in range(img.shape[0])])
+    if scales is not None:
+        sc = np.asarray(scales).reshape(-1)
+        img = np.stack([draw_scale_text(img[i], sc[i])
+                        for i in range(img.shape[0])])
     num_cols = opt.tb.num_images[1] if "tb" in opt else 8
     grid = image_grid(img, num_cols)
     tb.add_image(f"{group}/{name}", grid, step, dataformats="HWC")
 
 
 def dump_images(opt, idx, name, images, masks=None, from_range=(0, 1),
-                poses=None, folder="dump"):
+                poses=None, scales=None, folder="dump"):
     """Per-sample PNG dumps (reference `utils/util_vis.py:54-65`)."""
     os.makedirs(f"{opt.output_path}/{folder}", exist_ok=True)
     images = _ensure_rgb(np.asarray(images, np.float32))
@@ -116,6 +121,10 @@ def dump_images(opt, idx, name, images, masks=None, from_range=(0, 1),
         img = (img * m + 255 * (1 - m)).astype(np.uint8)
     if poses is not None:
         img = np.stack([draw_pose_axes(img[i], np.asarray(poses)[i])
+                        for i in range(img.shape[0])])
+    if scales is not None:
+        sc = np.asarray(scales).reshape(-1)
+        img = np.stack([draw_scale_text(img[i], sc[i])
                         for i in range(img.shape[0])])
     for i, sample_id in enumerate(np.asarray(idx).reshape(-1)):
         PIL.Image.fromarray(img[i]).save(

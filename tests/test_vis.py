@@ -81,3 +81,75 @@ def test_tb_image_writes(tmp_path):
     vis.tb_image(opt, tb, 5, "train", "panel", imgs)
     assert tb.calls[0][0] == "train/panel"
     assert tb.calls[0][3] == "HWC"
+
+
+def test_scales_overlay_plumbed(tmp_path):
+    """`scales=` flows through tb_image and dump_images (reference
+    `utils/util_vis.py:17,26-27,54,59-60`)."""
+    class FakeTB:
+        def __init__(self):
+            self.imgs = []
+
+        def add_image(self, tag, img, step, dataformats):
+            self.imgs.append(img)
+
+    opt = _opt(tmp_path)
+    tb = FakeTB()
+    imgs = np.zeros((2, 32, 32, 3), np.float32)
+    vis.tb_image(opt, tb, 0, "train", "panel", imgs, scales=np.array([1.0, 2.0]))
+    assert tb.imgs[0].sum() > 0  # text was drawn on black images
+
+    vis.dump_images(opt, np.array([0, 1]), "sc", imgs,
+                    scales=np.array([0.5, 1.5]), folder="d")
+    out = np.asarray(__import__("PIL.Image", fromlist=["Image"]).open(
+        f"{tmp_path}/d/0_sc.png"))
+    assert out.sum() > 0
+
+
+def test_trainer_visualize_nn_panels(tmp_path):
+    """The train-split visualize emits CLIP-NN input/recon panels when the
+    var carries NN selections (reference `model/runner.py:449-459`)."""
+    from shapeclipper_tpu.train.trainer import Runner
+    from tests.test_train_step import tiny_opt
+
+    class FakeTB:
+        def __init__(self):
+            self.tags = []
+
+        def add_image(self, tag, img, step, dataformats):
+            self.tags.append(tag)
+
+        def add_scalar(self, *a, **k):
+            pass
+
+    opt = tiny_opt(tmp_path)
+    opt.tb = edict(num_images=[2, 4])
+    runner = Runner(opt)
+    runner.tb = FakeTB()
+    runner.graph = type("G", (), {"opt": opt})()
+
+    B, K, H, W = 2, 3, 8, 8
+    var = edict(
+        rgb_input_map=np.random.rand(B, H, W, 3).astype(np.float32),
+        mask_input_map=np.ones((B, H, W, 1), np.float32),
+        rgb_input_map_NN=np.random.rand(B, K, H, W, 3).astype(np.float32),
+        mask_input_map_NN=np.ones((B, K, H, W, 1), np.float32),
+        idx_NN=np.array([[1], [2]]),
+        pose_NN_0=np.tile(np.concatenate([np.eye(3), [[0], [0], [5.0]]], 1),
+                          (B, 1, 1)).astype(np.float32),
+        normal_input_map=np.random.rand(B, H, W, 3).astype(np.float32) * 2 - 1,
+    )
+    runner.visualize(opt, var, step=0, split="train")
+    tags = set(runner.tags if hasattr(runner, "tags") else runner.tb.tags)
+    for expect in ("train/image_input_map", "train/mask_input_map",
+                   "train/image_input_map_NN_0", "train/mask_input_map_NN_0",
+                   "train/normal_input_viewpoint_map"):
+        assert expect in tags, (expect, tags)
+
+    # recon NN maps -> recon panels
+    var["rgb_recon_map_NN_0"] = np.random.rand(B, H, W, 3).astype(np.float32)
+    var["mask_recon_map_NN_0"] = np.ones((B, H, W, 1), np.float32)
+    runner.tb.tags.clear()
+    runner.visualize(opt, var, step=1, split="train")
+    assert "train/image_recon_map_NN_0" in runner.tb.tags
+    assert "train/mask_recon_map_NN_0" in runner.tb.tags

@@ -2,6 +2,8 @@
 (correct names/shapes) and check every mapping/transpose lands in the right
 flax leaf."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -11,7 +13,7 @@ from shapeclipper_tpu.clipnn.vit import CLIPVisionTower, load_clip_npz
 from shapeclipper_tpu.models.resnet import load_pretrained_npz, resnet18
 
 
-def _fake_resnet18_statedict(rng):
+def _fake_resnet_statedict(rng, stage_sizes=(2, 2, 2, 2)):
     sd = {}
 
     def conv(name, cout, cin, k):
@@ -30,7 +32,7 @@ def _fake_resnet18_statedict(rng):
     for stage in range(4):
         cin = sizes[max(stage - 1, 0)]
         cout = sizes[stage]
-        for block in range(2):
+        for block in range(stage_sizes[stage]):
             base = f"layer{stage + 1}.{block}"
             c_in = cin if block == 0 else cout
             conv(f"{base}.conv1", cout, c_in, 3)
@@ -43,6 +45,10 @@ def _fake_resnet18_statedict(rng):
     sd["fc.weight"] = rng.randn(1000, 512).astype(np.float32)
     sd["fc.bias"] = rng.randn(1000).astype(np.float32)
     return sd
+
+
+def _fake_resnet18_statedict(rng):
+    return _fake_resnet_statedict(rng, (2, 2, 2, 2))
 
 
 def test_resnet_weight_loading(tmp_path):
@@ -176,3 +182,131 @@ def _numpy_clip_forward(sd, x, width, layers, heads, patch):
         h = h + y
     h = ln(h[:, 0], sd["visual.ln_post.weight"], sd["visual.ln_post.bias"])
     return h @ sd["visual.proj"]
+
+
+# ---------------------------------------------------------------------------
+# arch.enc_pretrained wiring into Graph.init (reference `model/graph.py:50-51`,
+# `model/view_estimator.py:41`)
+# ---------------------------------------------------------------------------
+
+def _write_fake_weights(tmp_path):
+    rng = np.random.RandomState(3)
+    sd34 = _fake_resnet_statedict(rng, (3, 4, 6, 3))
+    sd18 = _fake_resnet_statedict(rng, (2, 2, 2, 2))
+    p34 = str(tmp_path / "resnet34.npz")
+    p18 = str(tmp_path / "resnet18.npz")
+    np.savez(p34, **sd34)
+    np.savez(p18, **sd18)
+    return sd34, p34, sd18, p18
+
+
+def _tiny_graph_opt():
+    from shapeclipper_tpu.config import options
+    opt = options.load_options(
+        os.path.join(os.path.dirname(__file__), "..",
+                     "options/pix3d/config.yaml"))
+    opt.H, opt.W = 32, 32
+    opt.data.num_classes = 1
+    return opt
+
+
+def test_graph_init_loads_pretrained_encoders(tmp_path):
+    sd34, p34, sd18, p18 = _write_fake_weights(tmp_path)
+    opt = _tiny_graph_opt()
+    opt.arch.enc_pretrained = True
+    opt.arch.enc_weights = p34
+    opt.arch.est_weights = p18
+
+    from shapeclipper_tpu.models.graph import Graph
+    state = Graph(opt).init(jax.random.PRNGKey(0))
+    params, stats = state["params"], state["batch_stats"]
+
+    # encoder (resnet34) conv + BN params AND running stats land
+    np.testing.assert_allclose(
+        np.asarray(params["encoder"]["conv1"]["kernel"]),
+        sd34["conv1.weight"].transpose(2, 3, 1, 0))
+    np.testing.assert_allclose(
+        np.asarray(params["encoder"]["layer3_block5"]["conv2"]["kernel"]),
+        sd34["layer3.5.conv2.weight"].transpose(2, 3, 1, 0))
+    np.testing.assert_allclose(
+        np.asarray(stats["encoder"]["bn1"]["mean"]), sd34["bn1.running_mean"])
+    np.testing.assert_allclose(
+        np.asarray(stats["encoder"]["layer4_block2"]["bn2"]["var"]),
+        sd34["layer4.2.bn2.running_var"])
+    # fc is resized (1024-out) and must NOT be overwritten by the 1000-out fc
+    assert params["encoder"]["fc"]["kernel"].shape[-1] == (
+        opt.arch.latent_dim_shape + opt.arch.latent_dim_rgb)
+
+    # estimator backbone (resnet18, nested under ResNet_0)
+    np.testing.assert_allclose(
+        np.asarray(params["estimator"]["ResNet_0"]["conv1"]["kernel"]),
+        sd18["conv1.weight"].transpose(2, 3, 1, 0))
+    np.testing.assert_allclose(
+        np.asarray(stats["estimator"]["ResNet_0"]["layer2_block0"]["bn1"]["mean"]),
+        sd18["layer2.0.bn1.running_mean"])
+    # estimator heads keep their parity init (elev/theta zeroed biases)
+    np.testing.assert_allclose(
+        np.asarray(params["estimator"]["extr_fc"]["bias"]),
+        [0.0, 0.0, 1.0, 0.0, 1.0, 0.0])
+
+
+def test_graph_init_missing_weights_warns_and_runs(tmp_path, capsys):
+    opt = _tiny_graph_opt()
+    opt.arch.enc_pretrained = True
+    opt.arch.enc_weights = str(tmp_path / "nope.npz")
+    opt.arch.est_weights = str(tmp_path / "nope18.npz")
+    from shapeclipper_tpu.models.graph import Graph
+    state = Graph(opt).init(jax.random.PRNGKey(0))
+    assert "encoder" in state["params"]
+    assert "missing" in capsys.readouterr().out
+
+
+def test_graph_init_scratch_when_disabled(tmp_path):
+    sd34, p34, sd18, p18 = _write_fake_weights(tmp_path)
+    opt = _tiny_graph_opt()
+    opt.arch.enc_pretrained = False
+    opt.arch.enc_weights = p34
+    opt.arch.est_weights = p18
+    from shapeclipper_tpu.models.graph import Graph
+    state = Graph(opt).init(jax.random.PRNGKey(0))
+    assert not np.allclose(
+        np.asarray(state["params"]["encoder"]["conv1"]["kernel"]),
+        sd34["conv1.weight"].transpose(2, 3, 1, 0))
+
+
+@pytest.mark.slow
+def test_train_cli_uses_pretrained_encoder(tmp_path):
+    """End-to-end through train.py: with iter_camera pinned high every step is
+    a camera-phase (estimator-only) update with BN frozen, so the encoder
+    params/batch_stats in the saved checkpoint must equal the loaded artifact
+    exactly."""
+    import subprocess
+    import sys
+
+    sd34, p34, sd18, p18 = _write_fake_weights(tmp_path)
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    env = dict(os.environ, SCL_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "train.py", "--yaml=options/synthetic/config.yaml",
+         f"--output_root={tmp_path}", "--max_epoch=1", "--batch_size=2",
+         "--image_size=[32,32]", "--render.rand_sample=32",
+         "--render.n_samples_uniform=8", "--eval.vox_res=12",
+         "--eval.num_points=512", "--eval.image_size=[16,16]",
+         "--data.max_img_cat=4", "--data.num_workers=0", "--freq.eval=10",
+         "--tpu.encoder_dtype=float32", "--tpu.mesh={data: 1}", "--tb!",
+         "--optim.iter_camera=100000",
+         f"--arch.enc_weights={p34}", f"--arch.est_weights={p18}"],
+        cwd=repo, env=env, timeout=2400, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    from shapeclipper_tpu.utils import checkpoint as ckpt
+    payload = ckpt.load_raw(
+        str(tmp_path / "synthetic_output" / "smoke" / "latest.ckpt"))
+    enc = payload["graph"]["params"]["encoder"]
+    enc_stats = payload["graph"]["batch_stats"]["encoder"]
+    np.testing.assert_allclose(
+        np.asarray(enc["conv1"]["kernel"]),
+        sd34["conv1.weight"].transpose(2, 3, 1, 0))
+    np.testing.assert_allclose(
+        np.asarray(enc_stats["bn1"]["mean"]), sd34["bn1.running_mean"])
+
