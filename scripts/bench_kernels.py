@@ -22,6 +22,8 @@ import numpy as np
 
 
 def sync(x):
+    # benched fns return scalar reductions, so the host fetch is tiny (the
+    # axon tunnel moves ~30 MB/s — fetching full outputs would swamp timing)
     leaves = jax.tree_util.tree_leaves(x)
     return float(np.asarray(leaves[0]).ravel()[0])  # true host fetch
 
@@ -51,19 +53,26 @@ def bench_sdf():
     lat = jax.random.normal(jax.random.PRNGKey(2), (B, C)) * 0.3
     params = net.init(jax.random.PRNGKey(0), pts[:, :8], lat)["params"]
 
-    xla = jax.jit(lambda p, x, l: sdf_with_gradient(net.apply, p, x, l))
+    def scalarize(f):
+        return lambda *a: jax.tree_util.tree_map(
+            lambda t: jnp.mean(t) if t is not None else None, f(*a),
+            is_leaf=lambda t: t is None)
+
+    xla = jax.jit(scalarize(
+        lambda p, x, l: sdf_with_gradient(net.apply, p, x, l)))
     t_xla = timeit(f"XLA sdf_with_gradient [{B},{N}]", xla, params, pts, lat)
 
-    xla_nograd = jax.jit(lambda p, x, l: net.apply({"params": p}, x, l))
+    xla_nograd = jax.jit(scalarize(
+        lambda p, x, l: net.apply({"params": p}, x, l)))
     timeit(f"XLA sdf fwd only      [{B},{N}]", xla_nograd, params, pts, lat)
 
-    pallas_grad = jax.jit(lambda p, x, l: fused_sdf_forward(
-        p, x, l, compute_grad=True, interpret=False))
+    pallas_grad = jax.jit(scalarize(lambda p, x, l: fused_sdf_forward(
+        p, x, l, compute_grad=True, interpret=False)))
     t_pal = timeit(f"Pallas fused fwd+grad [{B},{N}]", pallas_grad,
                    params, pts, lat)
 
-    pallas_nograd = jax.jit(lambda p, x, l: fused_sdf_forward(
-        p, x, l, compute_grad=False, interpret=False))
+    pallas_nograd = jax.jit(scalarize(lambda p, x, l: fused_sdf_forward(
+        p, x, l, compute_grad=False, interpret=False)))
     timeit(f"Pallas fused fwd only [{B},{N}]", pallas_nograd, params, pts, lat)
     print(f"--> pallas/xla fwd+grad speedup: {t_xla / t_pal:.2f}x")
 
@@ -76,18 +85,19 @@ def bench_chamfer():
     b = jax.random.uniform(jax.random.PRNGKey(4), (1, N, 3))
 
     os.environ["SCL_CHAMFER_IMPL"] = "xla"
-    xla = jax.jit(lambda x, y: chamfer.chamfer_distance_sq(x, y)[:2])
-    d_xla = None
-    t = timeit(f"XLA chamfer {N}x{N}", xla, a, b, iters=3)
+    xla = jax.jit(lambda x, y: tuple(
+        jnp.mean(d) for d in chamfer.chamfer_distance_sq(x, y)[:2]))
+    timeit(f"XLA chamfer {N}x{N}", xla, a, b, iters=3)
     d_xla = jax.device_get(xla(a, b))
 
     os.environ["SCL_CHAMFER_IMPL"] = "pallas"
-    pal = jax.jit(lambda x, y: chamfer.chamfer_distance_sq(x, y)[:2])
+    pal = jax.jit(lambda x, y: tuple(
+        jnp.mean(d) for d in chamfer.chamfer_distance_sq(x, y)[:2]))
     timeit(f"Pallas chamfer {N}x{N}", pal, a, b, iters=3)
     d_pal = jax.device_get(pal(a, b))
-    err = max(float(np.abs(d_xla[0] - d_pal[0]).max()),
-              float(np.abs(d_xla[1] - d_pal[1]).max()))
-    print(f"--> pallas vs xla max |d^2| err: {err:.3e}")
+    err = max(abs(float(d_xla[0]) - float(d_pal[0])),
+              abs(float(d_xla[1]) - float(d_pal[1])))
+    print(f"--> pallas vs xla |mean d^2| err: {err:.3e}")
     del os.environ["SCL_CHAMFER_IMPL"]
 
 

@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                 "..")))
 
 
-def main(n_steps=300, seed=0, implicit_dtype=None, tag=""):
+def main(n_steps=300, seed=0, implicit_dtype=None, tag="", mesh=None):
     import numpy as np
     from shapeclipper_tpu.config import options
     from shapeclipper_tpu.train.trainer import Runner, _batch_to_var
@@ -28,6 +28,8 @@ def main(n_steps=300, seed=0, implicit_dtype=None, tag=""):
                batch_size=8, image_size=[64, 64], max_epoch=10 ** 6)
     if implicit_dtype:
         opt.tpu.implicit_dtype = implicit_dtype
+    if mesh:
+        opt.tpu.mesh = {"data": int(mesh)}
     opt.H, opt.W = opt.image_size
     opt.data.update(max_img_cat=32, num_workers=2)
     opt.render.update(rand_sample=256, n_samples_uniform=32)
@@ -82,4 +84,5 @@ if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     kw = dict(a[2:].split("=", 1) for a in sys.argv[1:] if a.startswith("--"))
     main(int(args[0]) if args else 300, seed=int(kw.get("seed", 0)),
-         implicit_dtype=kw.get("implicit_dtype"), tag=kw.get("tag", ""))
+         implicit_dtype=kw.get("implicit_dtype"), tag=kw.get("tag", ""),
+         mesh=kw.get("mesh"))

@@ -168,3 +168,38 @@ def test_implicit_bf16_option(tmp_path):
         losses[dtype] = float(loss.all)
     assert abs(losses["bfloat16"] - losses["float32"]) < 0.15 * (
         abs(losses["float32"]) + 1e-3)
+
+
+def test_train_visualize_nn_panels_integration(trained_runner):
+    """train_iteration at a vis step writes CLIP-NN input panels from the
+    live batch via the jit-step aux (idx_NN + pose_NN_v)."""
+    opt, runner = trained_runner
+
+    class FakeTB:
+        def __init__(self):
+            self.tags = []
+
+        def add_image(self, tag, img, step, dataformats):
+            self.tags.append(tag)
+
+        def add_scalar(self, *a, **k):
+            pass
+
+    opt2 = opt.deepcopy()
+    opt2.freq.vis = 1
+    opt2.tb = edict(num_images=[2, 2])
+    runner.tb = FakeTB()
+    runner.it = 5  # past the camera phase
+    from shapeclipper_tpu.train.trainer import _batch_to_var
+    from shapeclipper_tpu import parallel
+    from shapeclipper_tpu.utils.log import Timer
+    runner.timer = Timer()
+    runner.train_loader.set_epoch(0)
+    batch = next(iter(runner.train_loader))
+    var = parallel.shard_batch(runner.mesh, _batch_to_var(batch))
+    runner.train_iteration(opt2, var)
+    tags = set(runner.tb.tags)
+    for expect in ("train/image_input_map", "train/image_input_map_NN_0",
+                   "train/mask_input_map_NN_0"):
+        assert expect in tags, (expect, tags)
+    runner.tb = None

@@ -153,3 +153,43 @@ def test_trainer_visualize_nn_panels(tmp_path):
     runner.visualize(opt, var, step=1, split="train")
     assert "train/image_recon_map_NN_0" in runner.tb.tags
     assert "train/mask_recon_map_NN_0" in runner.tb.tags
+
+
+def test_vis_rotate_vis_nn_latent_selection(tmp_path):
+    """vis_rotate(vis_NN=True) textures with the NN view's RGB latent
+    (reference `model/runner.py:406,416`)."""
+    import jax.numpy as jnp
+    from shapeclipper_tpu.models.graph import Graph
+    from shapeclipper_tpu.render.renderer import RenderOutputs
+    from shapeclipper_tpu.train.trainer import Runner
+    from tests.test_train_step import tiny_opt
+
+    opt = tiny_opt(tmp_path)
+    runner = Runner(opt)
+    runner.graph = Graph(opt)
+    opt_e = opt.deepcopy()
+    opt_e.H, opt_e.W = 4, 4
+    runner.graph_eval = Graph(opt_e)
+    runner.params = {}
+
+    seen = []
+
+    def fake_render(params, pose, intr, scale_dist, proj_sdf, proj_rgb,
+                    ray_idx, rng, training, **kw):
+        seen.append(proj_rgb)
+        B, R = pose.shape[0], opt_e.H * opt_e.W
+        z = jnp.zeros((B, R, 3))
+        return RenderOutputs(rgb=z, mask=z[..., :1], mask_hard=z[..., :1],
+                             depth=z[..., :1], normal=z, grad_eikonal=None,
+                             extras={})
+
+    runner.graph_eval.render = fake_render
+    var = edict(idx=np.array([0]), intr=jnp.eye(3)[None],
+                scale_dist=jnp.ones((1,)),
+                proj_latent_sdf=jnp.zeros((1, 64)),
+                proj_latent_rgb=jnp.full((1, 64), 1.0),
+                proj_latent_rgb_NN=jnp.full((1, 64), 2.0))
+    runner.vis_rotate(opt, var, n_views=2, vis_NN=False)
+    assert float(seen[-1][0, 0]) == 1.0
+    runner.vis_rotate(opt, var, n_views=2, vis_NN=True)
+    assert float(seen[-1][0, 0]) == 2.0
