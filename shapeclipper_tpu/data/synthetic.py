@@ -9,6 +9,8 @@ schema matches `data/pix3d.py` exactly.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 
 from . import base
@@ -27,7 +29,11 @@ class Dataset(base.Dataset):
         self.H, self.W = opt.image_size
 
     def _shape_params(self, idx):
-        rng = np.random.RandomState(hash((self.split, idx)) % (2 ** 31))
+        # crc32, NOT hash(): str hashing is salted per process (PYTHONHASHSEED)
+        # so hash-seeded samples would differ between processes (bench runs,
+        # CLI subprocess tests, cross-process comparisons)
+        seed = zlib.crc32(f"{self.split}/{idx}".encode()) % (2 ** 31)
+        rng = np.random.RandomState(seed)
         radii = 0.25 + 0.25 * rng.rand(3)
         color = 0.2 + 0.8 * rng.rand(3)
         azim = rng.uniform(-np.pi, np.pi)

@@ -70,13 +70,18 @@ def _eval_grid_chunked(sdf_apply, params_sdf, points, latent, n_chunks,
 
 def _fused_eval_cfg(opt):
     """Pallas-kernel config when the fused eval path should be used, else
-    None. Default: on for TPU backends (override with opt.tpu.fused_eval
-    or SCL_FUSED_EVAL=0/1)."""
+    None. Default: on for single-device TPU backends (override with
+    opt.tpu.fused_eval or SCL_FUSED_EVAL=0/1)."""
     import os
     env = os.environ.get("SCL_FUSED_EVAL")
     enabled = (opt.get("tpu", {}).get("fused_eval", True)
                if env is None else env != "0")
     if not enabled or jax.default_backend() != "tpu":
+        return None
+    if jax.device_count() > 1:
+        # pallas_call under a sharded jit (without shard_map) would at best
+        # replicate the dense-grid eval on every chip; keep the XLA path,
+        # which shards the batch axis like the rest of eval
         return None
     a = opt.arch.impl_sdf
     if a.get("weight_norm") or a.pos_enc <= 0:

@@ -86,7 +86,13 @@ def normal_loss(normal_pred, normal_gt, mask, normal_l1=5.0, weight=None,
     keep = (ranks < keep_count).astype(flat_loss.dtype) * flat_mask
 
     if weight is not None:
-        w = jnp.broadcast_to(weight, loss.shape).reshape(-1)
+        # per-sample weights arrive as [B, 1, 1] (reference expands over the
+        # trailing normal axis, `model/loss.py:62-63`); drop trailing axes
+        # beyond loss's [B, R] rank before broadcasting
+        w = jnp.asarray(weight)
+        while w.ndim > loss.ndim:
+            w = w[..., 0]
+        w = jnp.broadcast_to(w, loss.shape).reshape(-1)
         flat_loss = flat_loss * w
     denom = jnp.maximum(jnp.sum(keep), 1.0)
     return jnp.sum(flat_loss * keep) / denom

@@ -118,13 +118,15 @@ class Graph:
             jobs.append(("encoder", (),
                          opt.arch.get("enc_weights")
                          or f"weights/{opt.arch.enc_network}.npz"))
-            jobs.append(("estimator", ("ResNet_0",),
-                         opt.arch.get("est_weights")
-                         or "weights/resnet18.npz"))
+        # the estimator backbone is pretrained UNCONDITIONALLY in the
+        # reference (`model/view_estimator.py:41`, pretrained=True) — not
+        # gated by arch.enc_pretrained
+        jobs.append(("estimator", ("ResNet_0",),
+                     opt.arch.get("est_weights") or "weights/resnet18.npz"))
         for top, sub, path in jobs:
             if not os.path.isfile(path):
-                log.warn(f"arch.enc_pretrained is set but {path} is missing "
-                         f"— {top} trains from scratch (convert weights with "
+                log.warn(f"pretrained weights {path} missing — {top} trains "
+                         f"from scratch (convert weights with "
                          f"scripts/convert_weights.py; see RUNBOOK.md)")
                 continue
             node_p = params[top]
@@ -386,6 +388,10 @@ class Graph:
             proj_rgb_NN, s_pr = self._apply_bn(
                 self.latent_proj_rgb, params["latent_proj_rgb"],
                 stats["latent_proj_rgb"], (latent_rgb_NN,), training, bn_eval)
+            var[f"proj_latent_rgb_NN_{v}"] = proj_rgb_NN
+            # reference parity: `proj_latent_rgb_NN` is overwritten every NN
+            # view and so holds the LAST view's latent (reference
+            # `model/graph.py:199-200`); vis_rotate(vis_NN=True) reads it
             var.proj_latent_rgb_NN = proj_rgb_NN
 
             pose_NN, intr_NN, est_NN, s_est = self.pred_pose(

@@ -217,11 +217,17 @@ def render(
 
     extras: Dict[str, Any] = {}
     if visualize:
-        opacity = alphas[..., None]                               # [B,R,S,1]
-        extras["points"] = points                                  # [B,R,S,3]
+        # subsample 200 rays (reference `model/renderer.py:179-182` uses an
+        # unseeded randperm; a fixed-key permutation is deterministic here)
+        n_vis = min(200, R)
+        perm_key = rng if rng is not None else jax.random.PRNGKey(0)
+        ray_sel = jax.random.permutation(perm_key, R)[:n_vis]
+        opacity = alphas[:, ray_sel, :, None]                     # [B,r,S,1]
+        extras["points"] = points[:, ray_sel]                      # [B,r,S,3]
         extras["transparency"] = jnp.concatenate(
             [opacity, 1.0 - opacity, jnp.zeros_like(opacity)], axis=-1)
-        extras["rgb_samples"] = jnp.concatenate([rgb, opacity], axis=-1)
+        extras["rgb_samples"] = jnp.concatenate(
+            [rgb[:, ray_sel], opacity], axis=-1)
 
     return RenderOutputs(rgb=rgb_output, mask=mask, mask_hard=mask_hard,
                          depth=depth_values, normal=normal_values,

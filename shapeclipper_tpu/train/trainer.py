@@ -149,6 +149,12 @@ class Runner:
         self._eval_forward = jax.jit(
             lambda p, s, v: self.graph_eval.forward(
                 p, s, v, rng=None, training=False, get_loss=False)[0])
+        # viz batches run with visualize=True (reference `runner.py:352`):
+        # the renderer returns 200-ray point/transparency/rgb sample extras
+        self._eval_forward_vis = jax.jit(
+            lambda p, s, v: self.graph_eval.forward(
+                p, s, v, rng=None, training=False, get_loss=False,
+                visualize=True)[0])
 
     def _build_step(self, opt, camera_phase):
         graph = self.graph
@@ -528,6 +534,14 @@ class Runner:
                                  folder=folder)
         util_vis.dump_images(o, var.idx, "mask_input", var.mask_input_map,
                              folder=folder)
+        if "normal_input_map" in var:
+            util_vis.dump_images(o, var.idx, "normal_input_viewpoint",
+                                 var.normal_input_map, from_range=(-1, 1),
+                                 folder=folder)
+        if "normal_transformed_map" in var:
+            util_vis.dump_images(o, var.idx, "normal_input_canonical",
+                                 var.normal_transformed_map,
+                                 from_range=(-1, 1), folder=folder)
         if "normal_recon_map" in var:
             util_vis.dump_images(o, var.idx, "normal_recon",
                                  var.normal_recon_map, from_range=(-1, 1),
@@ -582,7 +596,7 @@ class Runner:
         for batch in self.viz_data:
             var = parallel.shard_batch(self.mesh, _batch_to_var(batch),
                                        allow_replicate=True)
-            var = self._eval_forward(self.params, self.batch_stats, var)
+            var = self._eval_forward_vis(self.params, self.batch_stats, var)
             try:
                 eval_3D.eval_metrics(opt_e, var, self.graph.sdf_network.apply,
                                      self.params["sdf_network"],

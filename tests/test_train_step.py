@@ -121,6 +121,56 @@ def test_vis_rotate(trained_runner):
     assert var.rotating_imgs[0].shape == (2, He, We, 3)
 
 
+def test_dump_results_normal_tail_and_vis_extras(trained_runner):
+    """`dump_results` writes the normal_input_viewpoint / normal_input_canonical
+    PNGs (reference `model/runner.py:477-480`), and viz batches run with
+    visualize=True so the renderer's 200-ray sample extras are populated
+    (reference `runner.py:352` + `renderer.py:179-182`)."""
+    opt, runner = trained_runner
+    from shapeclipper_tpu.train.trainer import _batch_to_var
+    from shapeclipper_tpu import parallel
+
+    batch = runner.viz_data[0]
+    var = parallel.shard_batch(runner.mesh, _batch_to_var(batch),
+                               allow_replicate=True)
+    var = runner._eval_forward_vis(runner.params, runner.batch_stats, var)
+    S = opt.render.n_samples_uniform
+    B = np.asarray(var.idx).shape[0]
+    n_rays = min(200, runner.graph_eval.opt.H * runner.graph_eval.opt.W)
+    assert var.rendering_points.shape == (B, n_rays, S, 3)
+    assert var.rendering_transparency.shape == (B, n_rays, S, 3)
+    assert var.rendering_rgb.shape == (B, n_rays, S, 4)
+
+    runner._dump_rotating_vis(opt, ep=99)
+    folder = f"{opt.output_path}/vis_99"
+    files = os.listdir(folder)
+    assert any("normal_input_viewpoint" in f for f in files), files
+    assert any("normal_input_canonical" in f for f in files), files
+
+
+def test_forward_nn_per_view_latents(trained_runner):
+    """forward_NN stores per-view NN RGB latents (proj_latent_rgb_NN_{v})
+    plus the reference-parity last-view alias (`model/graph.py:199-200`)."""
+    opt, runner = trained_runner
+    import jax.numpy as jnp
+    from shapeclipper_tpu.data import synthetic
+    from shapeclipper_tpu.data.base import default_collate
+
+    ds = synthetic.Dataset(opt, split="train")
+    batch = default_collate([ds[0], ds[1]])
+    batch = edict({k: jnp.asarray(v) for k, v in batch.items()})
+    graph = runner.graph
+    var, _, _ = graph.forward(
+        jax.device_get(runner.params), jax.device_get(runner.batch_stats),
+        batch, jax.random.PRNGKey(3), training=True, get_loss=False)
+    for v in range(opt.reg.n_views):
+        assert f"proj_latent_rgb_NN_{v}" in var
+    last = opt.reg.n_views - 1
+    np.testing.assert_array_equal(
+        np.asarray(var.proj_latent_rgb_NN),
+        np.asarray(var[f"proj_latent_rgb_NN_{last}"]))
+
+
 def test_evaluate_ragged_last_batch(tmp_path):
     """5 eval samples at eval.batch_size=2 -> the last batch is padded to the
     compiled shape and padded rows are excluded from metrics/reports."""

@@ -272,6 +272,12 @@ def test_graph_init_scratch_when_disabled(tmp_path):
     assert not np.allclose(
         np.asarray(state["params"]["encoder"]["conv1"]["kernel"]),
         sd34["conv1.weight"].transpose(2, 3, 1, 0))
+    # the estimator backbone loads regardless of enc_pretrained (the reference
+    # constructs it with pretrained=True unconditionally,
+    # `model/view_estimator.py:41`)
+    np.testing.assert_allclose(
+        np.asarray(state["params"]["estimator"]["ResNet_0"]["conv1"]["kernel"]),
+        sd18["conv1.weight"].transpose(2, 3, 1, 0))
 
 
 @pytest.mark.slow
