@@ -154,12 +154,25 @@ def _rotate_and_normalize_pix3d(dpc_pred, dpc_gt, pose, pose_gt):
     return normalize_pc(pred), normalize_pc(gt)
 
 
+def eval_metrics_submit(opt, var, sdf_apply, params_sdf):
+    """Stage A (device, async): dispatch the dense SDF grid eval and return
+    the level-grid device array immediately. Pairs with eval_metrics_finish
+    so the host isosurface work for batch k overlaps the device computing
+    batch k+1 (the reference is fully serial, `utils/eval_3D.py:52-103`)."""
+    return compute_level_grid(opt, sdf_apply, params_sdf, var.proj_latent_sdf)
+
+
 def eval_metrics(opt, var, sdf_apply, params_sdf, vis_only=False, rng=None):
     """Full metric evaluation for one batch (reference
     `utils/eval_3D.py:52-103`). Mutates `var` with mesh_pred/dpc_pred/
     f_score/cd_acc/cd_comp; returns (dist_acc_mean, dist_comp_mean)."""
-    level = compute_level_grid(opt, sdf_apply, params_sdf,
-                               var.proj_latent_sdf)     # [B, S, S, S]
+    level = eval_metrics_submit(opt, var, sdf_apply, params_sdf)
+    return eval_metrics_finish(opt, var, level, vis_only=vis_only, rng=rng)
+
+
+def eval_metrics_finish(opt, var, level, vis_only=False, rng=None):
+    """Stage B/C: host isosurface + surface sampling, then device
+    rotate/normalize + Chamfer + F-score."""
     meshes, clouds = extract_meshes_and_pointclouds(
         opt, jax.device_get(level), rng=rng)
     var.mesh_pred = meshes

@@ -153,26 +153,64 @@ def sdf_fwdmode_xla(params_sdf, points, latent, n_freqs=6, skip_in=(1, 2),
     return sdf, feat, grad
 
 
-def fused_sdf_forward(params_sdf, points, latent, n_freqs=6, skip_in=(1, 2),
-                      n_hidden=5, compute_grad=False, force_symmetry=True,
-                      interpret=None):
-    """points: [B, N, 3]; latent: [B, C] -> (sdf [B,N,1], feat [B,N,C],
-    grad [B,N,3] or None). No autodiff support — eval paths only."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    B, N, _ = points.shape
-    kernels, biases = prepare_fused_params(params_sdf, latent, n_freqs,
-                                           skip_in, n_hidden)
-    out_width = kernels[-1][0].shape[-1]  # 1 + feat channels
-    n_pad = _round_up(N, TILE_N)
-    pts = jnp.zeros((B, n_pad, 3), jnp.float32).at[:, :N].set(points)
-    masks = jnp.asarray(_coord_masks(n_freqs))               # [3, 39]
-
+def _flatten_kernels(kernels):
     kernels_flat = []
     for Ka, Kb in kernels:
         kernels_flat.append(Ka)
         if Kb is not None:
             kernels_flat.append(Kb)
+    return kernels_flat
+
+
+def fused_sdf_forward(params_sdf, points, latent, n_freqs=6, skip_in=(1, 2),
+                      n_hidden=5, compute_grad=False, force_symmetry=True,
+                      interpret=None, mm_dtype="float32"):
+    """points: [B, N, 3]; latent: [B, C] -> (sdf [B,N,1], feat [B,N,C],
+    grad [B,N,3] or None). No autodiff support — eval paths only (the
+    training path with a custom VJP is `fused_sdf_train` below)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kernels, biases = prepare_fused_params(params_sdf, latent, n_freqs,
+                                           skip_in, n_hidden)
+    cfg = (n_freqs, tuple(skip_in), n_hidden, bool(force_symmetry),
+           bool(interpret), mm_dtype)
+    return _forward_call(cfg, tuple(_flatten_kernels(kernels)),
+                         tuple(biases), points, compute_grad)
+
+
+def _act_pair(prim):
+    """(softplus(100x)/100, sigmoid(100x)) sharing ONE exp — the kernels are
+    VPU-transcendental-bound (measured: bf16 matmuls and tile size change
+    nothing), so every exp/log1p counts. sigmoid = softplus' exactly."""
+    z = 100.0 * prim
+    e = jnp.exp(-jnp.abs(z))
+    inv = 1.0 / (1.0 + e)
+    sig = jnp.where(z >= 0, inv, 1.0 - inv)
+    act = (jnp.maximum(z, 0.0) + jnp.log1p(e)) / 100.0
+    return act, sig
+
+
+def _mm_cast(mm_dtype):
+    """In-kernel matmul-input dtype: 'bfloat16' runs the MXU single-pass
+    (~3x the f32 three-pass path) with f32 accumulation via
+    preferred_element_type; everything elementwise stays f32."""
+    t = jnp.bfloat16 if mm_dtype == "bfloat16" else jnp.float32
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(a.astype(t), b.astype(t), (dims, ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    return dot
+
+
+def _forward_call(cfg, kernels_flat, biases, points, compute_grad):
+    n_freqs, skip_in, n_hidden, force_symmetry, interpret, mm_dtype = cfg
+    B, N, _ = points.shape
+    out_width = kernels_flat[-1].shape[-1]  # 1 + feat channels
+    n_pad = _round_up(N, TILE_N)
+    pts = jnp.zeros((B, n_pad, 3), jnp.float32).at[:, :N].set(points)
+    masks = jnp.asarray(_coord_masks(n_freqs))               # [3, 39]
+
     num_layers = n_hidden + 1
     freq_vals = [float(2.0 ** k) for k in range(n_freqs)]
 
@@ -206,26 +244,21 @@ def fused_sdf_forward(params_sdf, points, latent, n_freqs=6, skip_in=(1, 2),
         else:
             pe_rows = pe
 
+        mdot = _mm_cast(mm_dtype)
         h = None
         ki = 0
         for l in range(num_layers):
             if l == 0:
                 W = kern_refs[ki][:]; ki += 1
-                out = jax.lax.dot_general(
-                    pe_rows, W, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                out = mdot(pe_rows, W, ((1,), (0,)))
             elif l in skip_in:
                 Wh = kern_refs[ki][:]; ki += 1
                 Wpe = kern_refs[ki][:]; ki += 1
-                out = (jax.lax.dot_general(h, Wh, (((1,), (0,)), ((), ())),
-                                           preferred_element_type=jnp.float32)
-                       + jax.lax.dot_general(pe_rows, Wpe,
-                                             (((1,), (0,)), ((), ())),
-                                             preferred_element_type=jnp.float32))
+                out = (mdot(h, Wh, ((1,), (0,)))
+                       + mdot(pe_rows, Wpe, ((1,), (0,))))
             else:
                 W = kern_refs[ki][:]; ki += 1
-                out = jax.lax.dot_general(h, W, (((1,), (0,)), ((), ())),
-                                          preferred_element_type=jnp.float32)
+                out = mdot(h, W, ((1,), (0,)))
             b = bias_refs[l][batch_idx]                       # [out]
             if compute_grad:
                 # bias applies to the primal rows only
@@ -235,13 +268,11 @@ def fused_sdf_forward(params_sdf, points, latent, n_freqs=6, skip_in=(1, 2),
                 out = out + b[None, :]
             if l < num_layers - 1:
                 if compute_grad:
-                    prim = out[:T]
-                    act = jax.nn.softplus(100.0 * prim) / 100.0
-                    sig = jax.nn.sigmoid(100.0 * prim)        # [T, out]
+                    act, sig = _act_pair(out[:T])
                     sig3 = jnp.concatenate([sig, sig, sig], axis=0)
                     out = jnp.concatenate([act, out[T:] * sig3], axis=0)
                 else:
-                    out = jax.nn.softplus(100.0 * out) / 100.0
+                    out = _act_pair(out)[0]
             h = out
 
         # assemble padded output rows without scatters: [out | grad | pad]
@@ -290,3 +321,316 @@ def fused_sdf_forward(params_sdf, points, latent, n_freqs=6, skip_in=(1, 2),
     feat = out[..., 1:out_width]
     grad = out[..., out_width:out_width + 3] if compute_grad else None
     return sdf, feat, grad
+
+
+# ---------------------------------------------------------------------------
+# Training path: custom-VJP Pallas forward+backward pair
+# ---------------------------------------------------------------------------
+#
+# The key observation (measured in round 2): expressing (sdf, feat, grad) via
+# hand-rolled forward-mode tangents makes the TRAINING backward a plain
+# first-order reverse pass over that graph — no vjp-of-vjp — but in XLA the
+# 4x-wide rows quadruple HBM activation traffic (2x slower end to end). In a
+# Pallas kernel the 4x rows live in VMEM, so the backward below re-runs the
+# tile-local forward (storing per-layer pre-activations in VMEM scratch) and
+# reverses through it without materializing ANY [B*N, W] activation in HBM.
+# Replaces the reference's create_graph=True double backward
+# (`model/renderer.py:93-107`, `model/implicit.py:163-189`).
+#
+# Gradient correctness is anchored to `sdf_fwdmode_xla` (same math, XLA ops,
+# parity-tested against nested jax.vjp): the backward kernel is its VJP,
+# derived by hand: softplus'(x) = sigmoid, tangent rows t = o * sig(100 prim)
+# contribute sigma'' = 100*sig*(1-sig) terms to the prim cotangent.
+
+def _tile_bwd():
+    import os
+    return int(os.environ.get("SCL_TILE_BWD", "256"))
+
+
+def fused_sdf_train(params_sdf, points, latent, n_freqs=6, skip_in=(1, 2),
+                    n_hidden=5, force_symmetry=True, detach_latent=False,
+                    interpret=None, mm_dtype=None):
+    """Differentiable fused SDF fwd (sdf, feat, grad) with a Pallas backward.
+
+    points: [B, N, 3]; latent: [B, C]. The latent folds into per-sample
+    effective biases OUTSIDE the custom-VJP boundary, so gradients w.r.t. the
+    raw parameter tree and the latent flow through plain XLA autodiff of
+    `prepare_fused_params`; `detach_latent` is a stop_gradient on the latent
+    (reference compute_grad=True semantics, `model/implicit.py:163-189`).
+    """
+    import os
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if mm_dtype is None:
+        mm_dtype = os.environ.get("SCL_PAIR_MM", "float32")
+    if detach_latent:
+        latent = jax.lax.stop_gradient(latent)
+    kernels, biases = prepare_fused_params(params_sdf, latent, n_freqs,
+                                           skip_in, n_hidden)
+    cfg = (n_freqs, tuple(skip_in), n_hidden, bool(force_symmetry),
+           bool(interpret), mm_dtype)
+    return _fused_core(cfg, tuple(_flatten_kernels(kernels)), tuple(biases),
+                       points)
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_core(cfg, kernels_flat, biases, points):
+    return _forward_call(cfg, kernels_flat, biases, points, True)
+
+
+def _fused_core_fwd(cfg, kernels_flat, biases, points):
+    out = _forward_call(cfg, kernels_flat, biases, points, True)
+    return out, (kernels_flat, biases, points)
+
+
+def _fused_core_bwd(cfg, res, cot):
+    kernels_flat, biases, points = res
+    sbar, fbar, gbar = cot
+    return _backward_call(cfg, kernels_flat, biases, points, sbar, fbar, gbar)
+
+
+_fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
+
+
+def _backward_call(cfg, kernels_flat, biases, points, sbar, fbar, gbar):
+    n_freqs, skip_in, n_hidden, force_symmetry, interpret, mm_dtype = cfg
+    B, N, _ = points.shape
+    T = _tile_bwd()
+    n_pad = _round_up(N, T)
+    num_layers = n_hidden + 1
+    W = kernels_flat[0].shape[-1]          # hidden width (64)
+    Wout = kernels_flat[-1].shape[-1]      # 1 + feat channels (65)
+    D = 3 + 6 * n_freqs                    # posenc dim (39)
+    freq_vals = [float(2.0 ** k) for k in range(n_freqs)]
+    nk = len(kernels_flat)
+
+    pts = jnp.zeros((B, n_pad, 3), jnp.float32).at[:, :N].set(points)
+    # pack cotangents [feat | sdf | grad] -> one [B, n_pad, C+4] operand;
+    # padded rows are zero so they contribute nothing to any accumulator
+    cot = jnp.zeros((B, n_pad, Wout + 3), jnp.float32)
+    cot = cot.at[:, :N].set(jnp.concatenate([fbar, sbar, gbar], axis=-1))
+    masks = jnp.asarray(_coord_masks(n_freqs))               # [3, D]
+
+    def kernel(pts_ref, masks_ref, *refs):
+        bias_refs = refs[:num_layers]
+        kern_refs = refs[num_layers:num_layers + nk]
+        cot_ref = refs[num_layers + nk]
+        o = num_layers + nk + 1
+        xbar_ref = refs[o]
+        kbar_refs = refs[o + 1:o + 1 + nk]
+        bbar_refs = refs[o + 1 + nk:o + 1 + nk + num_layers]
+        act_s = refs[-3]                   # VMEM scratch [n_hidden, T, W]
+        sig_s = refs[-2]                   # VMEM scratch [n_hidden, T, W]
+        tang_s = refs[-1]                  # VMEM scratch [n_hidden, 3T, W]
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+
+        @pl.when(jnp.logical_and(b == 0, i == 0))
+        def _():
+            for kr in kbar_refs:
+                kr[:] = jnp.zeros_like(kr)
+
+        @pl.when(i == 0)
+        def _():
+            for br in bbar_refs:
+                br[0] = jnp.zeros_like(br[0])
+
+        x = pts_ref[0]                     # [T, 3]
+        if force_symmetry:
+            sign0 = jnp.where(x[:, :1] < 0, -1.0, 1.0)
+            x = jnp.concatenate([jnp.abs(x[:, :1]), x[:, 1:]], axis=-1)
+
+        pe_parts = [x]
+        dpe_parts = [jnp.ones((T, 3), jnp.float32)]
+        d2pe_parts = [jnp.zeros((T, 3), jnp.float32)]
+        for f in freq_vals:
+            xf = x * f
+            s_, c_ = jnp.sin(xf), jnp.cos(xf)
+            pe_parts += [s_, c_]
+            dpe_parts += [f * c_, -f * s_]
+            d2pe_parts += [-f * f * s_, -f * f * c_]
+        pe = jnp.concatenate(pe_parts, axis=-1)               # [T, D]
+        dpe = jnp.concatenate(dpe_parts, axis=-1)
+        d2pe = jnp.concatenate(d2pe_parts, axis=-1)
+        m = masks_ref[:]                                      # [3, D]
+        tangents = [dpe * m[d:d + 1] for d in range(3)]
+        R = jnp.concatenate([pe] + tangents, axis=0)          # [4T, D]
+
+        mdot = _mm_cast(mm_dtype)
+
+        def dot(a, bb):
+            return mdot(a, bb, ((1,), (0,)))
+
+        def dot_tt(a, bb):  # a^T @ b, contracting rows
+            return mdot(a, bb, ((0,), (0,)))
+
+        def dot_nt(a, bb):  # a @ b^T, contracting last dims
+            return mdot(a, bb, ((1,), (1,)))
+
+        def rep3(v):
+            return jnp.concatenate([v, v, v], axis=0)
+
+        # ---- forward recompute, stashing pre-activations per hidden layer
+        h = None
+        ki = 0
+        k_idx = []                         # kernel-array indices per layer
+        for l in range(num_layers):
+            if l == 0:
+                Wpe = kern_refs[ki][:]
+                out = dot(R, Wpe)
+                k_idx.append((ki,))
+                ki += 1
+            elif l in skip_in:
+                Wh = kern_refs[ki][:]
+                Wpe = kern_refs[ki + 1][:]
+                out = dot(h, Wh) + dot(R, Wpe)
+                k_idx.append((ki, ki + 1))
+                ki += 2
+            else:
+                Wl = kern_refs[ki][:]
+                out = dot(h, Wl)
+                k_idx.append((ki,))
+                ki += 1
+            bias_row = bias_refs[l][b]                         # [W_l]
+            prim = out[:T] + bias_row[None, :]
+            tang = out[T:]
+            if l < num_layers - 1:
+                act, sig = _act_pair(prim)
+                act_s[l] = act
+                sig_s[l] = sig
+                tang_s[l] = tang
+                h = jnp.concatenate([act, tang * rep3(sig)], axis=0)
+
+        def h_of(l):
+            """Post-activation rows H_l from the stashed act/sig/tang — no
+            transcendentals (the kernel is VPU-bound; see _act_pair)."""
+            return jnp.concatenate(
+                [act_s[l], tang_s[l] * rep3(sig_s[l])], axis=0)
+
+        # ---- reverse sweep
+        ct = cot_ref[0]                                        # [T, Wout+3]
+        fbar_t = ct[:, :Wout - 1]
+        sbar_t = ct[:, Wout - 1:Wout]
+        gbar_t = ct[:, Wout:Wout + 3]
+        if force_symmetry:
+            gbar_t = jnp.concatenate(
+                [gbar_t[:, :1] * sign0, gbar_t[:, 1:]], axis=-1)
+
+        # output layer (no activation): prim rows get [sbar|fbar]; tangent
+        # row d gets gbar_d in the sdf column only
+        Cprim = jnp.concatenate([sbar_t, fbar_t], axis=-1)     # [T, Wout]
+        zeroW = jnp.zeros((T, Wout - 1), jnp.float32)
+        Ct = jnp.concatenate(
+            [jnp.concatenate([gbar_t[:, d:d + 1], zeroW], axis=-1)
+             for d in range(3)], axis=0)                       # [3T, Wout]
+        C_O = jnp.concatenate([Cprim, Ct], axis=0)             # [4T, Wout]
+
+        l_last = num_layers - 1
+        H_in = h_of(l_last - 1)
+        kbar_refs[k_idx[l_last][0]][:] += dot_tt(H_in, C_O)
+        bbar_refs[l_last][0] += jnp.broadcast_to(
+            jnp.sum(Cprim, axis=0, keepdims=True), bbar_refs[l_last].shape[1:])
+        C_H = dot_nt(C_O, kern_refs[k_idx[l_last][0]][:])      # [4T, W]
+
+        C_R = jnp.zeros((4 * T, D), jnp.float32)
+        for l in range(num_layers - 2, -1, -1):
+            tang = tang_s[l]
+            sig = sig_s[l]
+            dsig = 100.0 * sig * (1.0 - sig)
+            C_a = C_H[:T]
+            C_t = C_H[T:]
+            acc = (C_t[:T] * tang[:T] + C_t[T:2 * T] * tang[T:2 * T]
+                   + C_t[2 * T:] * tang[2 * T:])
+            Cprim = C_a * sig + acc * dsig
+            Ctang = C_t * rep3(sig)
+            C_O = jnp.concatenate([Cprim, Ctang], axis=0)      # [4T, W]
+            bbar_refs[l][0] += jnp.broadcast_to(
+                jnp.sum(Cprim, axis=0, keepdims=True), bbar_refs[l].shape[1:])
+            if l == 0:
+                kbar_refs[k_idx[0][0]][:] += dot_tt(R, C_O)
+                C_R += dot_nt(C_O, kern_refs[k_idx[0][0]][:])
+            elif l in skip_in:
+                H_in = h_of(l - 1)
+                kbar_refs[k_idx[l][0]][:] += dot_tt(H_in, C_O)
+                kbar_refs[k_idx[l][1]][:] += dot_tt(R, C_O)
+                C_H = dot_nt(C_O, kern_refs[k_idx[l][0]][:])
+                C_R += dot_nt(C_O, kern_refs[k_idx[l][1]][:])
+            else:
+                H_in = h_of(l - 1)
+                kbar_refs[k_idx[l][0]][:] += dot_tt(H_in, C_O)
+                C_H = dot_nt(C_O, kern_refs[k_idx[l][0]][:])
+
+        # ---- posenc reverse -> xbar, emitted transposed [3, T] (row-major
+        # lane alignment; no in-kernel transpose needed: contractions via
+        # dot_general with the mask matrix)
+        C_pe = C_R[:T]                                         # [T, D]
+        first = C_pe * dpe                                     # [T, D]
+        rows = []
+        for d in range(3):
+            term = first + C_R[(1 + d) * T:(2 + d) * T] * d2pe
+            if force_symmetry and d == 0:
+                term = term * sign0
+            # [1, T] = m_d [1, D] contracted with term^T over D
+            rows.append(jax.lax.dot_general(
+                m[d:d + 1], term, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        xrows = jnp.concatenate(rows, axis=0)                  # [3, T]
+        xbar_ref[0] = jnp.concatenate(
+            [xrows, jnp.zeros((5, T), jnp.float32)], axis=0)
+
+    grid = (B, n_pad // T)
+    in_specs = [
+        pl.BlockSpec((1, T, 3), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(masks.shape, lambda b, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [pts, masks]
+    for bia in biases:
+        in_specs.append(pl.BlockSpec(bia.shape, lambda b, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(bia)
+    for k in kernels_flat:
+        in_specs.append(pl.BlockSpec(k.shape, lambda b, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(k)
+    in_specs.append(pl.BlockSpec((1, T, Wout + 3), lambda b, i: (b, i, 0),
+                                 memory_space=pltpu.VMEM))
+    inputs.append(cot)
+
+    out_specs = [pl.BlockSpec((1, 8, T), lambda b, i: (b, 0, i),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((B, 8, n_pad), jnp.float32)]
+    for k in kernels_flat:
+        out_specs.append(pl.BlockSpec(k.shape, lambda b, i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct(k.shape, jnp.float32))
+    for bia in biases:
+        out_specs.append(pl.BlockSpec((1, 8, bia.shape[-1]),
+                                      lambda b, i: (b, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((B, 8, bia.shape[-1]), jnp.float32))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=[
+            pltpu.VMEM((n_hidden, T, W), jnp.float32),
+            pltpu.VMEM((n_hidden, T, W), jnp.float32),
+            pltpu.VMEM((n_hidden, 3 * T, W), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*inputs)
+
+    xbar = outs[0]
+    dkernels = tuple(outs[1:1 + nk])
+    dbiases = tuple(bb[:, 0, :] for bb in outs[1 + nk:])
+    dpoints = jnp.moveaxis(xbar[:, :3, :], 1, 2)[:, :N]
+    return dkernels, dbiases, dpoints

@@ -26,27 +26,35 @@ import jax.numpy as jnp
 from .. import camera
 from ..models.implicit import (laplace_density, laplace_density_dsdf,
                                sdf_with_gradient)
-from ..ops.fused_sdf import sdf_fwdmode_xla
+from ..ops.fused_sdf import fused_sdf_train, sdf_fwdmode_xla
 
 
 def _sdf_grad_fn(opt, sdf_apply, params):
     """(points [B,N,3], latent [B,C], detach_latent) -> (sdf, feat, grad).
 
     tpu.sdf_grad_mode selects the formulation:
-      * 'vjp' (default): nested jax.vjp (the reference's create_graph=True
-        shape, `model/renderer.py:93-107`); measured 2x FASTER than 'fwd' on
-        v5e — the 64-wide MLPs are HBM-bound and the fwd-mode rows quadruple
-        the activation traffic (see STATUS.md round-2 measurements)
+      * 'vjp' (default off-TPU): nested jax.vjp (the reference's
+        create_graph=True shape, `model/renderer.py:93-107`)
       * 'fwd': hand-rolled forward-mode tangents in one 4x-wide first-order
-        pass (ops/fused_sdf.sdf_fwdmode_xla) — the training backward is a
-        single reverse pass, not vjp-of-vjp; parity-tested to fp precision
+        XLA pass (ops/fused_sdf.sdf_fwdmode_xla); measured 2x SLOWER than
+        'vjp' on v5e — the 4x rows quadruple HBM activation traffic
+      * 'pallas': fused Pallas forward+backward pair
+        (ops/fused_sdf.fused_sdf_train) — the same forward-mode math, but
+        both passes keep the tile's activations in VMEM; the training
+        backward is a single hand-derived reverse kernel with no [B*N, W]
+        HBM activations (TPU only; parity-tested against 'vjp')
     """
     mode = opt.get("tpu", {}).get("sdf_grad_mode", "vjp")
     if mode == "vjp":
         return lambda pts, lat, detach: sdf_with_gradient(
             sdf_apply, params["sdf_network"], pts, lat, detach_latent=detach)
-    assert mode == "fwd", mode
     a = opt.arch.impl_sdf
+    if mode == "pallas":
+        return lambda pts, lat, detach: fused_sdf_train(
+            params["sdf_network"], pts, lat, n_freqs=a.pos_enc,
+            skip_in=tuple(a.skip_connection), n_hidden=a.n_hidden_layers,
+            force_symmetry=opt.arch.force_symmetry, detach_latent=detach)
+    assert mode == "fwd", mode
     dtype = {"bfloat16": jnp.bfloat16}.get(
         opt.get("tpu", {}).get("implicit_dtype"), jnp.float32)
     return lambda pts, lat, detach: sdf_fwdmode_xla(

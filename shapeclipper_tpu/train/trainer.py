@@ -437,6 +437,11 @@ class Runner:
 
     # ------------------------------------------------------------------ eval
     def evaluate(self, opt, ep, training=False):
+        """Software-pipelined evaluation: the device forward + dense-grid SDF
+        eval for batch k+1 is dispatched (async) BEFORE the host isosurface
+        extraction of batch k runs, so host marching-tetrahedra overlaps
+        device execution (the reference is fully serial,
+        `utils/eval_3D.py:52-103` inside `model/runner.py:307-396`)."""
         opt_e = self.graph_eval.opt
         f_scores = []
         metric_eval = dict(dist_acc=0.0, dist_cov=0.0)
@@ -445,22 +450,10 @@ class Runner:
         counts_cat = [0.001] * opt.data.num_classes
         n_seen = 0
 
-        for it, batch in enumerate(self.test_loader):
-            # pad ragged final batches to the compiled batch size (a new
-            # shape would trigger a full recompile of the eval programs);
-            # padded rows are sliced out of every metric below
-            n_valid = int(np.asarray(batch["idx"]).shape[0])
-            B_c = opt.eval.batch_size
-            if n_valid < B_c:
-                batch = jax.tree_util.tree_map(
-                    lambda v: np.concatenate(
-                        [v, np.repeat(v[-1:], B_c - n_valid, axis=0)]),
-                    batch)
-            var = parallel.shard_batch(self.mesh, _batch_to_var(batch))
-            var = self._eval_forward(self.params, self.batch_stats, var)
-            eval_3D.eval_metrics(
-                opt_e, var, self.graph.sdf_network.apply,
-                self.params["sdf_network"], rng=np.random.RandomState(it))
+        def finish(it, n_valid, var, level):
+            nonlocal n_seen
+            eval_3D.eval_metrics_finish(opt_e, var, level,
+                                        rng=np.random.RandomState(it))
             f_scores.append(np.asarray(var.f_score)[:n_valid])
             n_seen += n_valid
             cd_acc = np.asarray(var.cd_acc)[:n_valid]
@@ -478,6 +471,7 @@ class Runner:
                     self.visualize_viz_data(opt, step=ep, split="eval")
                 self._dump_rotating_vis(opt, ep)
             if not training:
+                B_c = opt.eval.batch_size
                 if n_valid < B_c:  # drop padded rows from dumps
                     mesh_pred = var.get("mesh_pred")
                     var = edict({
@@ -487,6 +481,33 @@ class Runner:
                     if mesh_pred is not None:
                         var.mesh_pred = mesh_pred[:n_valid]
                 self.dump_results(opt_e, var, ep, write_new=(it == 0))
+
+        pipelined = opt.get("tpu", {}).get("eval_pipeline", True)
+        pending = None
+        for it, batch in enumerate(self.test_loader):
+            # pad ragged final batches to the compiled batch size (a new
+            # shape would trigger a full recompile of the eval programs);
+            # padded rows are sliced out of every metric in finish()
+            n_valid = int(np.asarray(batch["idx"]).shape[0])
+            B_c = opt.eval.batch_size
+            if n_valid < B_c:
+                batch = jax.tree_util.tree_map(
+                    lambda v: np.concatenate(
+                        [v, np.repeat(v[-1:], B_c - n_valid, axis=0)]),
+                    batch)
+            var = parallel.shard_batch(self.mesh, _batch_to_var(batch))
+            var = self._eval_forward(self.params, self.batch_stats, var)
+            level = eval_3D.eval_metrics_submit(
+                opt_e, var, self.graph.sdf_network.apply,
+                self.params["sdf_network"])
+            if pending is not None:
+                finish(*pending)
+            if pipelined:
+                pending = (it, n_valid, var, level)
+            else:  # serial mode (tpu.eval_pipeline=false; for A/B timing)
+                finish(it, n_valid, var, level)
+        if pending is not None:
+            finish(*pending)
 
         if not training:
             self._write_eval_reports(opt, acc_cat, comp_cat, counts_cat,

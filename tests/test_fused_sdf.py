@@ -114,6 +114,59 @@ def test_fwdmode_xla_nondefault_arch():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
 
 
+def test_fused_train_pair_full_parity():
+    """fused_sdf_train (Pallas fwd + hand-derived Pallas bwd) == nested-vjp
+    reference: primal outputs AND all training gradients (params, points,
+    latent) through an eikonal-style second-order loss."""
+    from shapeclipper_tpu.ops.fused_sdf import fused_sdf_train
+
+    net, params = _setup()
+    B, N, C = 2, 300  , 64   # non-multiple of TILE_BWD exercises padding
+    pts = jax.random.uniform(jax.random.PRNGKey(11), (B, N, 3),
+                             minval=-1, maxval=1)
+    lat = jax.random.normal(jax.random.PRNGKey(12), (B, C)) * 0.3
+
+    s1, f1, g1 = sdf_with_gradient(net.apply, params, pts, lat)
+    s2, f2, g2 = fused_sdf_train(params, pts, lat)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+    def loss(p, x, l, fn):
+        s, f, g = fn(p, x, l)
+        return ((s ** 2).mean() + (f ** 2).mean()
+                + ((jnp.linalg.norm(g, axis=-1) - 1) ** 2).mean())
+
+    ref_fn = lambda p, x, l: sdf_with_gradient(net.apply, p, x, l)  # noqa
+    gv = jax.grad(loss, argnums=(0, 1, 2))(params, pts, lat, ref_fn)
+    gf = jax.grad(loss, argnums=(0, 1, 2))(params, pts, lat, fused_sdf_train)
+    for a, b in zip(jax.tree_util.tree_leaves(gv),
+                    jax.tree_util.tree_leaves(gf)):
+        scale = max(float(np.abs(np.asarray(a)).max()), 1e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5 * scale, rtol=2e-4)
+
+
+def test_fused_train_pair_detach_latent():
+    """detach_latent cuts ALL latent gradients (reference compute_grad=True
+    detaches the latent, `model/implicit.py:163-189`)."""
+    from shapeclipper_tpu.ops.fused_sdf import fused_sdf_train
+
+    net, params = _setup()
+    pts = jax.random.uniform(jax.random.PRNGKey(13), (1, 64, 3),
+                             minval=-1, maxval=1)
+    lat = jax.random.normal(jax.random.PRNGKey(14), (1, 64)) * 0.3
+
+    gl = jax.grad(lambda l: fused_sdf_train(
+        params, pts, l, detach_latent=True)[2].sum())(lat)
+    assert float(np.abs(np.asarray(gl)).max()) == 0.0
+    # and matches the vjp reference when NOT detached
+    gl1 = jax.grad(lambda l: sdf_with_gradient(
+        net.apply, params, pts, l)[0].sum())(lat)
+    gl2 = jax.grad(lambda l: fused_sdf_train(params, pts, l)[0].sum())(lat)
+    np.testing.assert_allclose(np.asarray(gl1), np.asarray(gl2), atol=2e-5)
+
+
 def test_eval_grid_fused_path_parity():
     """_eval_grid_chunked(fused_cfg=...) == plain XLA apply (interpret-mode
     Pallas on CPU; compiled on TPU backends)."""
