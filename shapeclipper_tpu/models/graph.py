@@ -228,7 +228,8 @@ class Graph:
         return sdf_apply, rgb_apply
 
     def render(self, params, pose, intr, scale_dist, proj_sdf, proj_rgb,
-               ray_idx, rng, training, visualize=False, compute_eikonal=None):
+               ray_idx, rng, training, visualize=False, compute_eikonal=None,
+               eikonal_batch=None):
         sdf_apply, rgb_apply = self._implicit_applies()
 
         def run(params, pose, intr, scale_dist, proj_sdf, proj_rgb, ray_idx,
@@ -237,7 +238,8 @@ class Graph:
                 self.opt, sdf_apply, rgb_apply,
                 params, pose, intr, scale_dist, proj_sdf, proj_rgb,
                 ray_idx=ray_idx, rng=rng, training=training,
-                visualize=visualize, compute_eikonal=compute_eikonal)
+                visualize=visualize, compute_eikonal=compute_eikonal,
+                eikonal_batch=eikonal_batch)
 
         if training and self.opt.get("tpu", {}).get("remat_renderer"):
             # rematerialize renderer activations in the backward pass (trades
@@ -292,16 +294,32 @@ class Graph:
         if normal_sup is not None:
             var.normal_transformed = camera.transform_normal(normal_sup, pose)
 
-        out = self.render(params, pose, intr, est.scale_dist, proj_sdf,
-                          proj_rgb, ray_idx, rng_render, training,
-                          visualize=visualize)
-        var.rgb_recon, var.mask_recon = out.rgb, out.mask
-        var.mask_hard, var.depth_recon = out.mask_hard, out.depth
-        var.normal_recon, var.grad_eikonal = out.normal, out.grad_eikonal
-        if visualize:
-            var.rendering_points = out.extras["points"]
-            var.rendering_transparency = out.extras["transparency"]
-            var.rendering_rgb = out.extras["rgb_samples"]
+        nn_active = ((opt.loss_weight.get("nearest_img") is not None
+                      or opt.loss_weight.get("nearest_mask") is not None)
+                     and training and "rgb_input_map_NN" in var)
+        merge_nn = (nn_active and not visualize
+                    and bool(opt.render.rand_sample)
+                    and ray_idx is not None and "ray_idx_NN" in var
+                    and opt.get("tpu", {}).get("merge_nn_render", True))
+
+        if merge_nn:
+            new_stats = self._forward_merged(
+                params, new_stats, var, (rng_render, rng_nn), training,
+                bn_eval, pose, intr, est, proj_sdf, proj_rgb, ray_idx)
+        else:
+            out = self.render(params, pose, intr, est.scale_dist, proj_sdf,
+                              proj_rgb, ray_idx, rng_render, training,
+                              visualize=visualize)
+            var.rgb_recon, var.mask_recon = out.rgb, out.mask
+            var.mask_hard, var.depth_recon = out.mask_hard, out.depth
+            var.normal_recon, var.grad_eikonal = out.normal, out.grad_eikonal
+            if visualize:
+                var.rendering_points = out.extras["points"]
+                var.rendering_transparency = out.extras["transparency"]
+                var.rendering_rgb = out.extras["rgb_samples"]
+            if nn_active:
+                new_stats = self.forward_NN(params, new_stats, var, rng_nn,
+                                            rng_nn_render, training, bn_eval)
 
         if not (opt.render.rand_sample and training):
             B = var.rgb_recon.shape[0]
@@ -315,23 +333,60 @@ class Graph:
                 var.normal_transformed_map = var.normal_transformed.reshape(
                     B, opt.image_size[0], opt.image_size[1], 3)
 
-        nn_active = ((opt.loss_weight.get("nearest_img") is not None
-                      or opt.loss_weight.get("nearest_mask") is not None)
-                     and training and "rgb_input_map_NN" in var)
-        if nn_active:
-            new_stats = self.forward_NN(params, new_stats, var, rng_nn,
-                                        rng_nn_render, training, bn_eval)
-
         loss = None
         if get_loss:
             loss = self.compute_loss(params, new_stats, var, training, bn_eval)
         return var, loss, new_stats
 
+    def _forward_merged(self, params, stats, var, rngs, training, bn_eval,
+                        pose, intr, est, proj_sdf, proj_rgb, ray_idx):
+        """ONE batched field evaluation for the query + all NN views
+        (tpu.merge_nn_render): the SDF/RGB fwd+bwd chains dominate the train
+        step and the reference runs them once per view
+        (`model/graph.py:87-90,203-209`); batching them multiplies the matmul
+        M-dimension by (1+n_views) and removes a full per-view chain of op
+        dispatches. Semantically identical per view (the eikonal sampling is
+        restricted to the query slice); only the stratified-jitter RNG stream
+        differs from the sequential formulation."""
+        opt = self.opt
+        rng_render, rng_nn = rngs
+        B = pose.shape[0]
+        V = opt.reg.n_views
+        prep, new_stats = self._nn_prepare(params, stats, var, rng_nn,
+                                           training, bn_eval)
+        pose_all = jnp.concatenate([pose] + [p["pose"] for p in prep])
+        intr_all = jnp.concatenate([intr] + [p["intr"] for p in prep])
+        scale_all = jnp.concatenate([est.scale_dist]
+                                    + [p["scale_dist"] for p in prep])
+        proj_sdf_all = jnp.concatenate([proj_sdf] * (1 + V))
+        proj_rgb_all = jnp.concatenate([proj_rgb]
+                                       + [p["proj_rgb"] for p in prep])
+        ray_idx_all = (jnp.concatenate([ray_idx]
+                                       + [p["ray_idx"] for p in prep])
+                       if ray_idx is not None else None)
+        out = self.render(params, pose_all, intr_all, scale_all,
+                          proj_sdf_all, proj_rgb_all, ray_idx_all,
+                          rng_render, training, eikonal_batch=B)
+        var.rgb_recon = out.rgb[:B]
+        var.mask_recon = out.mask[:B]
+        var.mask_hard = out.mask_hard[:B]
+        var.depth_recon = out.depth[:B]
+        var.normal_recon = out.normal[:B]
+        var.grad_eikonal = out.grad_eikonal          # query slice only [B,2R]
+        for v in range(V):
+            lo, hi = B * (1 + v), B * (2 + v)
+            var[f"rgb_recon_NN_{v}"] = out.rgb[lo:hi]
+            var[f"mask_recon_NN_{v}"] = out.mask[lo:hi]
+            var[f"depth_recon_NN_{v}"] = out.depth[lo:hi]
+            var[f"normal_recon_NN_{v}"] = out.normal[lo:hi]
+        return new_stats
+
     # ------------------------------------------------------------- NN branch
-    def forward_NN(self, params, stats, var, rng_select, rng_render,
-                   training, bn_eval):
-        """CLIP nearest-neighbor consistency branch (reference
-        `model/graph.py:114-218`). NN tensors are stacked [B, K, ...]."""
+    def _nn_prepare(self, params, stats, var, rng_select, training, bn_eval):
+        """Neighbor selection + per-view encode/pose (reference
+        `model/graph.py:114-205`): stores input_NN_v / idx_NN / pose_NN_v /
+        intr_NN_v / scale_dist_NN_v / proj_latent_rgb_NN_v in var and returns
+        (per-view render inputs, new_stats). NN tensors are [B, K, ...]."""
         opt = self.opt
         K = var.rgb_input_map_NN.shape[1]
         V = opt.reg.n_views
@@ -366,8 +421,7 @@ class Graph:
             return jnp.take_along_axis(
                 arr, idx.reshape(B, *([1] * (arr.ndim - 1))), axis=1)[:, 0]
 
-        rngs_r = (jax.random.split(rng_render, V) if rng_render is not None
-                  else [None] * V)
+        prep = []
         for v in range(V):
             sel = edict()
             for key in ("rgb_input_map", "mask_input_map", "normal_input_map",
@@ -402,11 +456,32 @@ class Graph:
 
             ray_idx = sel.get("ray_idx") if (opt.render.rand_sample
                                              and training) else None
+            prep.append(dict(pose=pose_NN, intr=intr_NN,
+                             scale_dist=est_NN.scale_dist,
+                             proj_rgb=proj_rgb_NN, ray_idx=ray_idx))
+            stats = dict(stats)
+            stats.update(encoder=s_enc, latent_proj_rgb=s_pr, estimator=s_est)
+        return prep, stats
+
+    def forward_NN(self, params, stats, var, rng_select, rng_render,
+                   training, bn_eval):
+        """CLIP nearest-neighbor consistency branch, one render per view
+        (reference `model/graph.py:114-218`). The training fast path batches
+        these renders with the query's instead (_forward_merged)."""
+        opt = self.opt
+        B = var.rgb_input_map.shape[0]
+        V = opt.reg.n_views
+        prep, stats = self._nn_prepare(params, stats, var, rng_select,
+                                       training, bn_eval)
+        rngs_r = (jax.random.split(rng_render, V) if rng_render is not None
+                  else [None] * V)
+        for v, p in enumerate(prep):
             # compute_eikonal=False: NN-view eikonal gradients are never read
             # by any loss (eikonal uses only the query view's grad_eikonal)
-            out = self.render(params, pose_NN, intr_NN, est_NN.scale_dist,
-                              var.proj_latent_sdf, proj_rgb_NN, ray_idx,
-                              rngs_r[v], training, compute_eikonal=False)
+            out = self.render(params, p["pose"], p["intr"], p["scale_dist"],
+                              var.proj_latent_sdf, p["proj_rgb"],
+                              p["ray_idx"], rngs_r[v], training,
+                              compute_eikonal=False)
             var[f"rgb_recon_NN_{v}"] = out.rgb
             var[f"mask_recon_NN_{v}"] = out.mask
             var[f"depth_recon_NN_{v}"] = out.depth
@@ -420,9 +495,6 @@ class Graph:
                     B, opt.H, opt.W, 1)
                 var[f"normal_recon_map_NN_{v}"] = out.normal.reshape(
                     B, opt.H, opt.W, 3)
-
-            stats = dict(stats)
-            stats.update(encoder=s_enc, latent_proj_rgb=s_pr, estimator=s_est)
         return stats
 
     # ----------------------------------------------------------------- loss

@@ -142,6 +142,7 @@ def render(
     training: bool = True,
     visualize: bool = False,
     compute_eikonal: Optional[bool] = None,
+    eikonal_batch: Optional[int] = None,
 ) -> RenderOutputs:
     """Render rgb/mask/depth/normal maps (+ eikonal gradients when training).
 
@@ -149,6 +150,11 @@ def render(
     False — its eikonal gradients are never consumed by any loss (the eikonal
     loss reads only the query view's, reference `model/graph.py:251-253`), so
     computing them there is pure throwaway work.
+
+    `eikonal_batch` restricts the eikonal sampling to the FIRST k batch
+    entries: the merged query+NN render (tpu.merge_nn_render) batches all
+    views through one field evaluation but only the query views contribute
+    eikonal gradients.
 
     Reference semantics: `model/renderer.py:57-185`.
     """
@@ -215,13 +221,14 @@ def render(
     # --- eikonal points (training only) --------------------------------------
     grad_eikonal = None
     if compute_eikonal:
+        Be = eikonal_batch if eikonal_batch is not None else B
         lo, hi = opt.arch.impl_sdf.eikonal_sample_range
         eik_uniform = jax.random.uniform(
-            rng_eik_pts, (B, R, 3), minval=lo, maxval=hi)
-        eik_near = cam_loc + z_eik * ray_dirs                     # [B,R,3]
+            rng_eik_pts, (Be, R, 3), minval=lo, maxval=hi)
+        eik_near = (cam_loc[:Be] + z_eik[:Be] * ray_dirs[:Be])    # [Be,R,3]
         eik_points = jnp.concatenate([eik_uniform, eik_near], axis=1)
-        _, _, grad_eik = sdf_grad(eik_points, proj_latent_sdf, True)
-        grad_eikonal = jnp.linalg.norm(grad_eik, axis=-1)         # [B,2R]
+        _, _, grad_eik = sdf_grad(eik_points, proj_latent_sdf[:Be], True)
+        grad_eikonal = jnp.linalg.norm(grad_eik, axis=-1)         # [Be,2R]
 
     extras: Dict[str, Any] = {}
     if visualize:

@@ -171,6 +171,66 @@ def test_forward_nn_per_view_latents(trained_runner):
         np.asarray(var[f"proj_latent_rgb_NN_{last}"]))
 
 
+def test_merged_nn_render_matches_sequential(tmp_path):
+    """tpu.merge_nn_render batches query+NN views through ONE field
+    evaluation; per-view outputs must equal separate render calls (checked
+    at the renderer level, deterministic training=False), and the merged
+    train step must produce the same loss structure as the sequential path."""
+    import jax.numpy as jnp
+    from shapeclipper_tpu.data import synthetic
+    from shapeclipper_tpu.data.base import default_collate
+    from shapeclipper_tpu.models.graph import Graph, summarize_loss
+
+    opt = tiny_opt(tmp_path)
+    graph = Graph(opt)
+    state = graph.init(jax.random.PRNGKey(0))
+    params = state["params"]
+
+    # renderer-level: one 2B call == two B calls (deterministic at eval)
+    B, C = 2, 64
+    from shapeclipper_tpu import camera
+    rngk = jax.random.PRNGKey(1)
+    azim = jax.random.uniform(rngk, (2 * B,), minval=-3.0, maxval=3.0)
+    R = camera.azim_to_rotation_matrix(azim)
+    t = jnp.tile(jnp.array([0.0, 0.0, opt.camera.dist]), (2 * B, 1))
+    pose = camera.pose(R=R, t=t)
+    intr = camera.get_intr(opt, jnp.ones(2 * B))
+    scale = jnp.ones(2 * B)
+    lat_s = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (2 * B, C))
+    lat_r = 0.1 * jax.random.normal(jax.random.PRNGKey(3), (2 * B, C))
+    merged = graph.render(params, pose, intr, scale, lat_s, lat_r, None,
+                          None, training=False)
+    for lo, hi in ((0, B), (B, 2 * B)):
+        single = graph.render(params, pose[lo:hi], intr[lo:hi],
+                              scale[lo:hi], lat_s[lo:hi], lat_r[lo:hi],
+                              None, None, training=False)
+        np.testing.assert_allclose(np.asarray(merged.rgb[lo:hi]),
+                                   np.asarray(single.rgb), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(merged.normal[lo:hi]),
+                                   np.asarray(single.normal), atol=1e-4)
+
+    # graph-level: merged vs sequential train forward — same keys, same loss
+    # structure, losses in the same ballpark (RNG streams differ)
+    ds = synthetic.Dataset(opt, split="train")
+    batch = default_collate([ds[0], ds[1]])
+    batch = edict({k: jnp.asarray(v) for k, v in batch.items()})
+    losses = {}
+    for merge in (True, False):
+        o = opt.deepcopy()
+        o.tpu.merge_nn_render = merge
+        g = Graph(o)
+        var, loss, _ = g.forward(state["params"], state["batch_stats"],
+                                 batch, jax.random.PRNGKey(7), training=True)
+        loss = summarize_loss(o, loss)
+        assert bool(loss.finite)
+        assert var.grad_eikonal.shape == (2, 2 * o.render.rand_sample)
+        for v in range(o.reg.n_views):
+            assert f"rgb_recon_NN_{v}" in var
+        losses[merge] = float(loss.all)
+    assert abs(losses[True] - losses[False]) < 0.5 * (
+        abs(losses[False]) + 1e-3)
+
+
 def test_evaluate_ragged_last_batch(tmp_path):
     """5 eval samples at eval.batch_size=2 -> the last batch is padded to the
     compiled shape and padded rows are excluded from metrics/reports."""
