@@ -70,11 +70,12 @@ def _eval_grid_chunked(sdf_apply, params_sdf, points, latent, n_chunks,
 
 def _fused_eval_cfg(opt):
     """Pallas-kernel config when the fused eval path should be used, else
-    None. Default: on for single-device TPU backends (override with
-    opt.tpu.fused_eval or SCL_FUSED_EVAL=0/1)."""
+    None. Default OFF by measurement (the XLA path is 1.8x faster at the
+    eval chunk shape on v5e — see STATUS.md round 3); opt.tpu.fused_eval or
+    SCL_FUSED_EVAL=1 opts in, single-device TPU backends only."""
     import os
     env = os.environ.get("SCL_FUSED_EVAL")
-    enabled = (opt.get("tpu", {}).get("fused_eval", True)
+    enabled = (opt.get("tpu", {}).get("fused_eval", False)
                if env is None else env != "0")
     if not enabled or jax.default_backend() != "tpu":
         return None

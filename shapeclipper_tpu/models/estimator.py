@@ -50,39 +50,50 @@ class Estimator(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, images, train: bool = True) -> EstimatorOutputs:
+    def __call__(self, images, train: bool = True,
+                 head_split: int = 0) -> EstimatorOutputs:
+        """`head_split=k` runs the conv backbone on the whole batch but the
+        BN-bearing heads separately on [:k] and [k:]. Used to batch the query
+        + horizontally-flipped estimator passes (a flip leaves per-channel
+        CONV batch moments exactly unchanged, but the head BN1d stats over a
+        merged batch would differ from two separate calls — splitting keeps
+        both halves bit-comparable to the reference's two calls,
+        `model/loss.py:114`)."""
         feat = resnet18(num_classes=None, dtype=self.dtype,
                         )(images, train=train)          # [B, 512]
         n = feat.shape[-1]
 
-        feat_extr = BottleneckLinear(n, zero_init=True, name="extr_head")(
-            feat, train=train)
-        trig = nn.Dense(6, kernel_init=_extr_kernel_init,
-                        bias_init=_extr_bias_init, name="extr_fc")(feat_extr)
-        trig_azim = _normalize(trig[:, 0:2])
-        trig_elev = _normalize(trig[:, 2:4])
-        trig_theta = _normalize(trig[:, 4:6])
+        extr_head = BottleneckLinear(n, zero_init=True, name="extr_head")
+        extr_fc = nn.Dense(6, kernel_init=_extr_kernel_init,
+                           bias_init=_extr_bias_init, name="extr_fc")
+        size_head = BottleneckLinear(n, zero_init=True, name="size_head")
+        size_fc = nn.Dense(1, kernel_init=nn.initializers.zeros_init(),
+                           bias_init=nn.initializers.zeros_init(),
+                           name="size_fc")
+        persp_head = BottleneckLinear(n, zero_init=True, name="perspect_head")
+        persp_fc = nn.Dense(1, kernel_init=nn.initializers.zeros_init(),
+                            bias_init=nn.initializers.zeros_init(),
+                            name="perspect_fc")
 
-        feat_size = BottleneckLinear(n, zero_init=True, name="size_head")(
-            feat, train=train)
-        scale_size_raw = jnp.tanh(
-            nn.Dense(1, kernel_init=nn.initializers.zeros_init(),
-                     bias_init=nn.initializers.zeros_init(),
-                     name="size_fc")(feat_size))[..., 0]
-        scale_size = 1.0 + scale_size_raw * self.size_range
+        def run_heads(f):
+            trig = extr_fc(extr_head(f, train=train))
+            scale_size_raw = jnp.tanh(size_fc(size_head(f, train=train)))
+            scale_persp_raw = jnp.tanh(persp_fc(persp_head(f, train=train)))
+            scale_size = 1.0 + scale_size_raw[..., 0] * self.size_range
+            scale_perspect = 1.0 + scale_persp_raw[..., 0] * self.perspect_range
+            return EstimatorOutputs(
+                trig_azim=_normalize(trig[:, 0:2]),
+                trig_elev=_normalize(trig[:, 2:4]),
+                trig_theta=_normalize(trig[:, 4:6]),
+                scale_focal=scale_perspect,
+                scale_dist=scale_size * scale_perspect)
 
-        feat_persp = BottleneckLinear(n, zero_init=True, name="perspect_head")(
-            feat, train=train)
-        scale_persp_raw = jnp.tanh(
-            nn.Dense(1, kernel_init=nn.initializers.zeros_init(),
-                     bias_init=nn.initializers.zeros_init(),
-                     name="perspect_fc")(feat_persp))[..., 0]
-        scale_perspect = 1.0 + scale_persp_raw * self.perspect_range
-
-        return EstimatorOutputs(
-            trig_azim=trig_azim, trig_elev=trig_elev, trig_theta=trig_theta,
-            scale_focal=scale_perspect,
-            scale_dist=scale_size * scale_perspect)
+        if not head_split:
+            return run_heads(feat)
+        out_a = run_heads(feat[:head_split])
+        out_b = run_heads(feat[head_split:])
+        return EstimatorOutputs(*(jnp.concatenate([a, b])
+                                  for a, b in zip(out_a, out_b)))
 
     @staticmethod
     def from_opt(opt, dtype=jnp.float32):

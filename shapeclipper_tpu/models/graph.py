@@ -152,17 +152,18 @@ class Graph:
         return params, batch_stats
 
     # --------------------------------------------------------------- helpers
-    def _apply_bn(self, module, params, stats, args, train, bn_eval):
+    def _apply_bn(self, module, params, stats, args, train, bn_eval,
+                  **kwargs):
         """Apply a BN-bearing module; returns (out, new_stats)."""
         variables = {"params": params, "batch_stats": stats}
         if train and not bn_eval:
             out, mut = module.apply(variables, *args, train=True,
-                                    mutable=["batch_stats"])
+                                    mutable=["batch_stats"], **kwargs)
             return out, mut["batch_stats"]
-        out = module.apply(variables, *args, train=False)
+        out = module.apply(variables, *args, train=False, **kwargs)
         return out, stats
 
-    def pred_pose(self, params, stats, images, train, bn_eval):
+    def pred_pose(self, params, stats, images, train, bn_eval, head_split=0):
         """Estimator -> (pose [B,3,4], intr, scale_dist, trig tuple, new_stats).
 
         Rotation composed as Rz·Rx·Ry·R_permute with z-translation
@@ -171,7 +172,8 @@ class Graph:
         opt = self.opt
         est, new_stats = self._apply_bn(self.estimator, params["estimator"],
                                         stats["estimator"], (images,),
-                                        train, bn_eval)
+                                        train, bn_eval,
+                                        head_split=head_split)
         Ry = camera.azim_to_rotation_matrix(est.trig_azim, "trig")
         Rx = camera.elev_to_rotation_matrix(est.trig_elev, "trig")
         Rz = camera.roll_to_rotation_matrix(est.trig_theta, "trig")
@@ -280,8 +282,31 @@ class Graph:
                 params, stats, var.rgb_input_map, training, bn_eval)
         var.proj_latent_sdf, var.proj_latent_rgb = proj_sdf, proj_rgb
 
-        pose, intr, est, s_est = self.pred_pose(
-            params, new_stats, var.rgb_input_map, training, bn_eval)
+        sym_merge = (training and opt.loss_weight.get("cam_sym") is not None
+                     and opt.get("tpu", {}).get("merge_flip_estimator", True))
+        if sym_merge:
+            # run the query AND horizontally-flipped estimator passes as ONE
+            # ResNet18 batch. EXACT BN parity with two separate calls: a
+            # horizontal flip leaves per-channel batch moments unchanged, so
+            # the merged batch statistics equal the query-only statistics
+            # (which is also why the reference's in-loss flip pass shares
+            # them, `model/loss.py:114`); one stats update instead of the
+            # reference's discarded duplicate.
+            B = var.rgb_input_map.shape[0]
+            both = jnp.concatenate(
+                [var.rgb_input_map, var.rgb_input_map[:, :, ::-1, :]])
+            # head_split: conv backbone batched; BN1d heads per half (their
+            # batch stats are NOT flip-invariant, see Estimator.__call__)
+            pose2, intr2, est2, s_est = self.pred_pose(
+                params, new_stats, both, training, bn_eval, head_split=B)
+            pose, intr = pose2[:B], intr2[:B]
+            est = jax.tree_util.tree_map(lambda a: a[:B], est2)
+            var.trig_azim_flipped = est2.trig_azim[B:]
+            var.trig_elev_flipped = est2.trig_elev[B:]
+            var.trig_theta_flipped = est2.trig_theta[B:]
+        else:
+            pose, intr, est, s_est = self.pred_pose(
+                params, new_stats, var.rgb_input_map, training, bn_eval)
         new_stats = dict(new_stats)
         new_stats["estimator"] = s_est
         var.pose, var.intr, var.scale_dist = pose, intr, est.scale_dist
@@ -533,17 +558,24 @@ class Graph:
             loss.cam_uniform = L.cam_uniform_loss(var.trig_azim,
                                                   emd_p=opt.reg.emd_p)
         if lw.get("cam_sym") is not None and training:
-            flipped = var.rgb_input_map[:, :, ::-1, :]
-            # train-mode BN (batch statistics — a horizontal flip preserves
-            # them exactly, matching the reference's in-graph estimator call,
-            # `model/loss.py:114`); the duplicate running-stats update is
-            # dropped
-            est_f, _ = self._apply_bn(
-                self.estimator, params["estimator"], stats["estimator"],
-                (flipped,), not bn_eval, bn_eval)
+            if "trig_azim_flipped" in var:
+                # flipped pass already ran batched with the query estimator
+                # pass (tpu.merge_flip_estimator; exact BN parity — see
+                # forward())
+                trig_f = (var.trig_azim_flipped, var.trig_elev_flipped,
+                          var.trig_theta_flipped)
+            else:
+                flipped = var.rgb_input_map[:, :, ::-1, :]
+                # train-mode BN (batch statistics — a horizontal flip
+                # preserves them exactly, matching the reference's in-graph
+                # estimator call, `model/loss.py:114`); the duplicate
+                # running-stats update is dropped
+                est_f, _ = self._apply_bn(
+                    self.estimator, params["estimator"], stats["estimator"],
+                    (flipped,), not bn_eval, bn_eval)
+                trig_f = (est_f.trig_azim, est_f.trig_elev, est_f.trig_theta)
             loss.cam_sym = L.cam_sym_loss(
-                (var.trig_azim, var.trig_elev, var.trig_theta),
-                (est_f.trig_azim, est_f.trig_elev, est_f.trig_theta))
+                (var.trig_azim, var.trig_elev, var.trig_theta), trig_f)
         if lw.get("category_reg") is not None and training:
             loss.category_reg = L.category_reg_loss(
                 var.proj_latent_sdf, params["category_centers"],

@@ -231,6 +231,47 @@ def test_merged_nn_render_matches_sequential(tmp_path):
         abs(losses[False]) + 1e-3)
 
 
+def test_flip_merged_estimator_matches_separate(tmp_path):
+    """tpu.merge_flip_estimator batches the query + horizontally-flipped
+    estimator passes; per-half outputs must match separate calls (conv BN
+    moments are flip-invariant; head BN runs per half via head_split)."""
+    import jax.numpy as jnp
+    from shapeclipper_tpu.data import synthetic
+    from shapeclipper_tpu.data.base import default_collate
+    from shapeclipper_tpu.models.graph import Graph
+
+    opt = tiny_opt(tmp_path)
+    graph = Graph(opt)
+    state = graph.init(jax.random.PRNGKey(0))
+    params, stats = state["params"], state["batch_stats"]
+
+    ds = synthetic.Dataset(opt, split="train")
+    batch = default_collate([ds[0], ds[1], ds[2], ds[3]])
+    batch = edict({k: jnp.asarray(v) for k, v in batch.items()})
+
+    var, _, _ = graph.forward(params, stats, batch, jax.random.PRNGKey(5),
+                              training=True, get_loss=False)
+    assert "trig_azim_flipped" in var
+
+    # legacy separate calls (training-mode BN, per-call batch stats)
+    est_q, _ = graph._apply_bn(graph.estimator, params["estimator"],
+                               stats["estimator"], (batch.rgb_input_map,),
+                               True, False)
+    flipped = batch.rgb_input_map[:, :, ::-1, :]
+    est_f, _ = graph._apply_bn(graph.estimator, params["estimator"],
+                               stats["estimator"], (flipped,), True, False)
+    # conv-BN reassociation over the doubled batch gives fp-noise-level
+    # deltas amplified through the backbone — tolerance, not bitwise
+    np.testing.assert_allclose(np.asarray(var.trig_azim),
+                               np.asarray(est_q.trig_azim), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(var.trig_azim_flipped),
+                               np.asarray(est_f.trig_azim), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(var.trig_theta_flipped),
+                               np.asarray(est_f.trig_theta), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(var.scale_dist),
+                               np.asarray(est_q.scale_dist), atol=5e-3)
+
+
 def test_evaluate_ragged_last_batch(tmp_path):
     """5 eval samples at eval.batch_size=2 -> the last batch is padded to the
     compiled shape and padded rows are excluded from metrics/reports."""
