@@ -16,7 +16,8 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                 "..")))
 
 
-def main(n_steps=300, seed=0, implicit_dtype=None, tag="", mesh=None):
+def main(n_steps=300, seed=0, implicit_dtype=None, tag="", mesh=None,
+         merge=None):
     import numpy as np
     from shapeclipper_tpu.config import options
     from shapeclipper_tpu.train.trainer import Runner, _batch_to_var
@@ -30,6 +31,9 @@ def main(n_steps=300, seed=0, implicit_dtype=None, tag="", mesh=None):
         opt.tpu.implicit_dtype = implicit_dtype
     if mesh:
         opt.tpu.mesh = {"data": int(mesh)}
+    if merge is not None:  # --merge=0 disables the batched render/estimator
+        opt.tpu.merge_nn_render = bool(int(merge))
+        opt.tpu.merge_flip_estimator = bool(int(merge))
     opt.H, opt.W = opt.image_size
     opt.data.update(max_img_cat=32, num_workers=2)
     opt.render.update(rand_sample=256, n_samples_uniform=32)
@@ -85,4 +89,4 @@ if __name__ == "__main__":
     kw = dict(a[2:].split("=", 1) for a in sys.argv[1:] if a.startswith("--"))
     main(int(args[0]) if args else 300, seed=int(kw.get("seed", 0)),
          implicit_dtype=kw.get("implicit_dtype"), tag=kw.get("tag", ""),
-         mesh=kw.get("mesh"))
+         mesh=kw.get("mesh"), merge=kw.get("merge"))

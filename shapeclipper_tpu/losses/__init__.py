@@ -171,16 +171,24 @@ def cam_uniform_loss(trig, emd_p=2):
              ((cos_p, cos_e), (sin_p, sin_e), (prod_p, prod_e))]
     if emd_p == 1:
         return sum(jnp.abs(d).mean() for d in dists) / 3.0
-    return sum(jnp.linalg.norm(d, ord=emd_p) for d in dists) / (3.0 * batch_size)
+    if emd_p == 2:
+        # sqrt(sum^2 + tiny): finite gradient at d == 0 (jnp.linalg.norm's
+        # VJP is NaN there); value perturbation <= 1e-12
+        return sum(jnp.sqrt(jnp.sum(d ** 2) + 1e-24)
+                   for d in dists) / (3.0 * batch_size)
+    return sum(jnp.linalg.norm(d, ord=emd_p)
+               for d in dists) / (3.0 * batch_size)
 
 
 def category_reg_loss(proj_latent_sdf, shape_centers, category_labels,
                       temperature=0.3):
     """InfoNCE-style CE of normalized shape codes vs per-category centers
     (reference `model/loss.py:169-174`)."""
-    code = proj_latent_sdf / jnp.maximum(
-        jnp.linalg.norm(proj_latent_sdf, axis=-1, keepdims=True), 1e-12)
-    centers = shape_centers / jnp.maximum(
-        jnp.linalg.norm(shape_centers, axis=-1, keepdims=True), 1e-12)
+    def _nrm(x, eps=1e-12):  # finite gradient at x == 0 (forward-identical)
+        sq = jnp.sum(x * x, axis=-1, keepdims=True)
+        return x / jnp.sqrt(jnp.maximum(sq, eps * eps))
+
+    code = _nrm(proj_latent_sdf)
+    centers = _nrm(shape_centers)
     logits = code @ centers.T
     return ce_loss(logits / temperature, category_labels)

@@ -41,7 +41,10 @@ def _extr_bias_init(key, shape, dtype=jnp.float32):
 
 
 def _normalize(x, axis=-1, eps=1e-12):
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+    # forward-identical to x / max(|x|, eps) but with a finite gradient at
+    # x == 0 (jnp.linalg.norm's VJP is NaN there; torch_F.normalize is not)
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sq, eps * eps))
 
 
 class Estimator(nn.Module):

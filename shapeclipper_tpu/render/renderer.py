@@ -75,7 +75,17 @@ class RenderOutputs(NamedTuple):
 
 
 def _safe_normalize(x, axis=-1, eps=1e-12):
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+    """x / max(|x|, eps) with a FINITE gradient at x == 0.
+
+    `jnp.linalg.norm`'s VJP is NaN at exactly-zero vectors (torch defines
+    the subgradient as 0, `model/renderer.py` relies on that): once beta
+    anneals down, background rays' volume weights underflow to exact zero,
+    the weighted normal sum is a zero vector, and one NaN poisons the whole
+    step even though the loss masks it out (0 * NaN = NaN). sqrt(max(sq,
+    eps^2)) is forward-IDENTICAL to max(norm, eps) and differentiable
+    everywhere."""
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sq, eps * eps))
 
 
 def sample_z_vals(opt, rng, n_rays, scale_dist, training):
@@ -170,8 +180,8 @@ def render(
                                                  ray_idx=ray_idx)
     ray_dirs = _safe_normalize(ray_raw)
     # depth factor converts ray length (z) to real depth along the optical axis
-    depth_fac = 1.0 / jnp.maximum(
-        jnp.linalg.norm(ray_raw, axis=-1, keepdims=True), 1e-12)  # [B,R,1]
+    depth_fac = 1.0 / jnp.sqrt(jnp.maximum(
+        jnp.sum(ray_raw * ray_raw, axis=-1, keepdims=True), 1e-24))  # [B,R,1]
     R = ray_dirs.shape[1]
     if opt.camera.model == "perspective":
         cam_loc = jnp.broadcast_to(cam_loc, (B, R, 3))
@@ -228,7 +238,10 @@ def render(
         eik_near = (cam_loc[:Be] + z_eik[:Be] * ray_dirs[:Be])    # [Be,R,3]
         eik_points = jnp.concatenate([eik_uniform, eik_near], axis=1)
         _, _, grad_eik = sdf_grad(eik_points, proj_latent_sdf[:Be], True)
-        grad_eikonal = jnp.linalg.norm(grad_eik, axis=-1)         # [Be,2R]
+        # sqrt(max(.)) keeps the gradient finite at a zero SDF gradient
+        # (critical points of the field); forward differs only below 1e-12
+        grad_eikonal = jnp.sqrt(jnp.maximum(
+            jnp.sum(grad_eik * grad_eik, axis=-1), 1e-24))        # [Be,2R]
 
     extras: Dict[str, Any] = {}
     if visualize:

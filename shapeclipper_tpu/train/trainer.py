@@ -326,8 +326,11 @@ class Runner:
         # dispatch of step k+1 overlaps device execution of step k)
         if getattr(self, "_pending_loss", None) is not None:
             pending_it, pending = self._pending_loss
-            assert bool(pending["finite"]), \
-                f"non-finite loss at iter {pending_it}"
+            if not bool(pending["finite"]):
+                terms = {k: float(np.mean(np.asarray(v)))
+                         for k, v in pending.items() if k != "finite"}
+                raise AssertionError(
+                    f"non-finite loss at iter {pending_it}: {terms}")
         self._pending_loss = (self.it, loss)
 
         if self.it % opt.freq.vis == 0 and self.tb:
