@@ -50,6 +50,7 @@ def main():
     opt.render.update(rand_sample=64, n_samples_uniform=16)
     opt.reg.n_views = 1
     opt.tpu.encoder_dtype = "float32"
+    opt.tpu.implicit_dtype = "float32"
 
     from shapeclipper_tpu.data import synthetic
     from shapeclipper_tpu.data.base import default_collate

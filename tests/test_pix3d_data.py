@@ -153,6 +153,7 @@ def test_pix3d_train_step_runs(pix3d_root):
     opt.render.n_samples_uniform = 8
     opt.reg.n_views = 1
     opt.tpu.encoder_dtype = "float32"
+    opt.tpu.implicit_dtype = "float32"
     ds = pix3d.Dataset(opt, split="train")
     batch = default_collate([ds[0], ds[1]])
     batch = edict({k: jnp.asarray(v) for k, v in batch.items()})
@@ -194,6 +195,7 @@ def test_preselect_nn_views(pix3d_root):
     from shapeclipper_tpu.utils.easydict import EasyDict as edict
     opt.render.n_samples_uniform = 8
     opt.tpu.encoder_dtype = "float32"
+    opt.tpu.implicit_dtype = "float32"
     batch = default_collate([ds[0], ds[1]])
     batch = edict({k: jnp.asarray(v) for k, v in batch.items()})
     graph = Graph(opt)

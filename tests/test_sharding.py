@@ -34,6 +34,7 @@ def _tiny_opt():
     opt.render.update(rand_sample=32, n_samples_uniform=8)
     opt.reg.n_views = 1
     opt.tpu.encoder_dtype = "float32"
+    opt.tpu.implicit_dtype = "float32"
     return opt
 
 

@@ -28,6 +28,7 @@ def tiny_opt(tmp_path, **over):
     opt.freq.update(scalar=10000, vis=10000, save_vis=10000,
                     ckpt_latest=10000, eval=10000)
     opt.tpu.encoder_dtype = "float32"
+    opt.tpu.implicit_dtype = "float32"
     opt.tpu.mesh = {"data": 1}
     for k, v in over.items():
         opt[k] = v
