@@ -23,6 +23,8 @@ XLA implementation (which autodiff nests through).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -373,10 +375,7 @@ def fused_sdf_train(params_sdf, points, latent, n_freqs=6, skip_in=(1, 2),
                        points)
 
 
-from functools import partial as _partial  # noqa: E402
-
-
-@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_core(cfg, kernels_flat, biases, points):
     return _forward_call(cfg, kernels_flat, biases, points, True)
 
