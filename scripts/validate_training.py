@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
 
 
 def main(n_steps=300, seed=0, implicit_dtype=None, tag="", mesh=None,
-         merge=None):
+         merge=None, fast=False):
     import numpy as np
     from shapeclipper_tpu.config import options
     from shapeclipper_tpu.train.trainer import Runner, _batch_to_var
@@ -34,6 +34,9 @@ def main(n_steps=300, seed=0, implicit_dtype=None, tag="", mesh=None,
     if merge is not None:  # --merge=0 disables the batched render/estimator
         opt.tpu.merge_nn_render = bool(int(merge))
         opt.tpu.merge_flip_estimator = bool(int(merge))
+    if fast:  # ~3x cheaper steps/evals for single-core CPU A/B studies
+        opt.render.update(rand_sample=128, n_samples_uniform=16)
+        opt.eval.update(vox_res=24, num_points=4096)
     opt.H, opt.W = opt.image_size
     opt.data.update(max_img_cat=32, num_workers=2)
     opt.render.update(rand_sample=256, n_samples_uniform=32)
@@ -89,4 +92,5 @@ if __name__ == "__main__":
     kw = dict(a[2:].split("=", 1) for a in sys.argv[1:] if a.startswith("--"))
     main(int(args[0]) if args else 300, seed=int(kw.get("seed", 0)),
          implicit_dtype=kw.get("implicit_dtype"), tag=kw.get("tag", ""),
-         mesh=kw.get("mesh"), merge=kw.get("merge"))
+         mesh=kw.get("mesh"), merge=kw.get("merge"),
+         fast=bool(int(kw.get("fast", "0"))))
