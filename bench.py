@@ -13,7 +13,8 @@ there is NO measured denominator. vs_baseline divides by an ASSUMED 2.0 it/s
 for the PyTorch reference on one A100 at this config (an estimate, labeled as
 such in the JSON) — the honest primary numbers are `value` (it/s/chip),
 `step_ms`, `flops_per_step` (XLA cost analysis), and `mfu` (vs. the chip's
-bf16 peak; conservative since the implicit MLPs run f32).
+bf16 peak; encoders and implicit MLPs default to bf16 compute since round 3,
+see output/ab_bf16.json).
 
 Prints ONE JSON line:
   {"metric": "pix3d_train_iters_per_sec_per_chip", "value": N,

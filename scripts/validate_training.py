@@ -34,9 +34,12 @@ def main(n_steps=300, seed=0, implicit_dtype=None, tag="", mesh=None,
     if merge is not None:  # --merge=0 disables the batched render/estimator
         opt.tpu.merge_nn_render = bool(int(merge))
         opt.tpu.merge_flip_estimator = bool(int(merge))
-    if fast:  # ~3x cheaper steps/evals for single-core CPU A/B studies
+    if fast:  # much cheaper steps/evals for single-core CPU A/B studies
         opt.render.update(rand_sample=128, n_samples_uniform=16)
-        opt.eval.update(vox_res=24, num_points=4096)
+        # n_vis=0 skips the 50-view rotating-vis dumps per eval (the
+        # dominant eval cost on a single-core host)
+        opt.eval.update(vox_res=24, num_points=4096, n_vis=0)
+        opt.data.update(max_img_cat=16, num_workers=0)
     opt.H, opt.W = opt.image_size
     opt.data.update(max_img_cat=32, num_workers=2)
     opt.render.update(rand_sample=256, n_samples_uniform=32)
