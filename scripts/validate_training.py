@@ -34,17 +34,19 @@ def main(n_steps=300, seed=0, implicit_dtype=None, tag="", mesh=None,
     if merge is not None:  # --merge=0 disables the batched render/estimator
         opt.tpu.merge_nn_render = bool(int(merge))
         opt.tpu.merge_flip_estimator = bool(int(merge))
-    if fast:  # much cheaper steps/evals for single-core CPU A/B studies
-        opt.render.update(rand_sample=128, n_samples_uniform=16)
-        # n_vis=0 skips the 50-view rotating-vis dumps per eval (the
-        # dominant eval cost on a single-core host)
-        opt.eval.update(vox_res=24, num_points=4096, n_vis=0)
-        opt.data.update(max_img_cat=16, num_workers=0)
     opt.H, opt.W = opt.image_size
     opt.data.update(max_img_cat=32, num_workers=2)
     opt.render.update(rand_sample=256, n_samples_uniform=32)
     opt.eval.update(batch_size=2, image_size=[32, 32], vox_res=32,
                     num_points=8192, n_vis=1)
+    if fast:  # much cheaper steps/evals for single-core CPU A/B studies
+        # (must come AFTER the standard-profile updates above, which would
+        # otherwise overwrite it — round-3 advisor finding)
+        opt.render.update(rand_sample=128, n_samples_uniform=16)
+        # n_vis=0 skips the 50-view rotating-vis dumps per eval (the
+        # dominant eval cost on a single-core host)
+        opt.eval.update(vox_res=24, num_points=4096, n_vis=0)
+        opt.data.update(max_img_cat=16, num_workers=0)
     opt.freq.update(scalar=10 ** 6, vis=10 ** 6, save_vis=10 ** 6,
                     ckpt_latest=10 ** 6, eval=10 ** 6)
     opt.output_path = f"output/validate{tag}"

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.chamfer import chamfer_distance_sq
+from ..ops.chamfer import chamfer_dists_sq
 from . import isosurface
 
 # view-centric frame axis flips for Pix3D (reference `utils/eval_3D.py:78-90`)
@@ -187,7 +187,7 @@ def eval_metrics_finish(opt, var, level, vis_only=False, rng=None):
     if vis_only:
         return None
 
-    d1_sq, d2_sq, _, _ = chamfer_distance_sq(pred, gt)
+    d1_sq, d2_sq = chamfer_dists_sq(pred, gt)
     dist_acc, dist_comp = jnp.sqrt(d1_sq), jnp.sqrt(d2_sq)
     var.f_score = compute_fscore(dist_acc, dist_comp, opt.eval.f_thresholds)
     var.cd_acc = dist_acc.mean(axis=1)

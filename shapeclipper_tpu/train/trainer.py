@@ -363,13 +363,12 @@ class Runner:
             "train/beta", float(np.abs(np.asarray(
                 self.params["density"]["beta"]))), step)
         if split == "train" and "dpc_points" in var:
-            opt_eval = opt.deepcopy()
             mvar = edict(proj_latent_sdf=aux_var.proj_latent_sdf,
                          pose=aux_var.pose, pose_gt=var.pose_gt,
                          dpc_points=var.dpc_points)
             try:
                 dist_acc, dist_cov = eval_3D.eval_metrics(
-                    opt_eval, mvar, self.graph.sdf_network.apply,
+                    opt, mvar, self.graph.sdf_network.apply,
                     self.params["sdf_network"],
                     rng=np.random.RandomState(step))
                 self.tb.add_scalar(f"{split}/dist_acc", dist_acc, step)

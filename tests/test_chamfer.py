@@ -1,8 +1,10 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from shapeclipper_tpu.ops.chamfer import (chamfer_distance_sq,
+from shapeclipper_tpu.ops.chamfer import (chamfer_dists_sq,
+                                          chamfer_distance_sq,
                                           chamfer_distance_sq_reference)
 
 
@@ -40,6 +42,30 @@ def test_chamfer_tile_boundaries():
     x1, x2 = _rand_clouds(key=3, B=1, N1=600, N2=2100)
     d1, d2, i1, i2 = chamfer_distance_sq(x1, x2)
     rd1, rd2, _, _ = chamfer_distance_sq_reference(x1, x2)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(rd1), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(rd2), rtol=1e-4,
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_chamfer_dists_only_matches_reference(impl, monkeypatch):
+    # the eval metric path: distances only, both tile-boundary regimes
+    monkeypatch.setenv("SCL_CHAMFER_IMPL", impl)
+    x1, x2 = _rand_clouds(key=7, B=1, N1=600, N2=2100)
+    d1, d2 = chamfer_dists_sq(x1, x2)
+    rd1, rd2, _, _ = chamfer_distance_sq_reference(x1, x2)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(rd1), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(rd2), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_chamfer_dists_only_asymmetric_batch():
+    x1, x2 = _rand_clouds(key=8, B=3, N1=57, N2=201)
+    d1, d2 = chamfer_dists_sq(x1, x2)
+    rd1, rd2, _, _ = chamfer_distance_sq_reference(x1, x2)
+    assert d1.shape == (3, 57) and d2.shape == (3, 201)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(rd1), rtol=1e-4,
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(d2), np.asarray(rd2), rtol=1e-4,
