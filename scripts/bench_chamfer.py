@@ -32,6 +32,8 @@ def main():
 
     impl = "pallas" if variant.endswith("pallas") else "xla"
     os.environ["SCL_CHAMFER_IMPL"] = impl
+    if variant == "dists_xla_bidir":
+        os.environ["SCL_CHAMFER_DISTS"] = "bidir"
 
     import jax
     import numpy as np
@@ -60,6 +62,7 @@ def main():
     run_s = (time.perf_counter() - t0) / iters
 
     rec = dict(variant=variant, impl=impl, B=B, N=N,
+               dists=os.environ.get("SCL_CHAMFER_DISTS", "twopass"),
                tile1=int(os.environ.get("SCL_CHAMFER_TILE1", 4096)),
                tile2=int(os.environ.get("SCL_CHAMFER_TILE2", 16384)),
                compile_s=round(compile_s, 1),

@@ -34,6 +34,7 @@ def main(n_steps=300, seed=0, implicit_dtype=None, tag="", mesh=None,
     if merge is not None:  # --merge=0 disables the batched render/estimator
         opt.tpu.merge_nn_render = bool(int(merge))
         opt.tpu.merge_flip_estimator = bool(int(merge))
+        opt.tpu.merge_encoders = bool(int(merge))
     opt.H, opt.W = opt.image_size
     opt.data.update(max_img_cat=32, num_workers=2)
     opt.render.update(rand_sample=256, n_samples_uniform=32)

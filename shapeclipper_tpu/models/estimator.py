@@ -53,17 +53,18 @@ class Estimator(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, images, train: bool = True,
-                 head_split: int = 0) -> EstimatorOutputs:
-        """`head_split=k` runs the conv backbone on the whole batch but the
-        BN-bearing heads separately on [:k] and [k:]. Used to batch the query
-        + horizontally-flipped estimator passes (a flip leaves per-channel
-        CONV batch moments exactly unchanged, but the head BN1d stats over a
-        merged batch would differ from two separate calls — splitting keeps
-        both halves bit-comparable to the reference's two calls,
-        `model/loss.py:114`)."""
-        feat = resnet18(num_classes=None, dtype=self.dtype,
-                        )(images, train=train)          # [B, 512]
+    def __call__(self, images, train: bool = True, groups: int = 1,
+                 stats_groups: tuple | None = None) -> EstimatorOutputs:
+        """`groups=G` treats the batch as G equal view-groups and computes
+        every BatchNorm's train-time moments per group (GroupBatchNorm) — so
+        ONE ResNet18 call reproduces the reference's G separate estimator
+        calls exactly (query / flipped / per-NN-view,
+        `model/loss.py:114`, `model/graph.py:174-218`); `stats_groups`
+        selects which groups update running stats (the flip pass's update is
+        discarded, matching the unmerged path)."""
+        feat = resnet18(num_classes=None, dtype=self.dtype)(
+            images, train=train, groups=groups,
+            stats_groups=stats_groups)                   # [B, 512]
         n = feat.shape[-1]
 
         extr_head = BottleneckLinear(n, zero_init=True, name="extr_head")
@@ -78,25 +79,18 @@ class Estimator(nn.Module):
                             bias_init=nn.initializers.zeros_init(),
                             name="perspect_fc")
 
-        def run_heads(f):
-            trig = extr_fc(extr_head(f, train=train))
-            scale_size_raw = jnp.tanh(size_fc(size_head(f, train=train)))
-            scale_persp_raw = jnp.tanh(persp_fc(persp_head(f, train=train)))
-            scale_size = 1.0 + scale_size_raw[..., 0] * self.size_range
-            scale_perspect = 1.0 + scale_persp_raw[..., 0] * self.perspect_range
-            return EstimatorOutputs(
-                trig_azim=_normalize(trig[:, 0:2]),
-                trig_elev=_normalize(trig[:, 2:4]),
-                trig_theta=_normalize(trig[:, 4:6]),
-                scale_focal=scale_perspect,
-                scale_dist=scale_size * scale_perspect)
-
-        if not head_split:
-            return run_heads(feat)
-        out_a = run_heads(feat[:head_split])
-        out_b = run_heads(feat[head_split:])
-        return EstimatorOutputs(*(jnp.concatenate([a, b])
-                                  for a, b in zip(out_a, out_b)))
+        hkw = dict(train=train, groups=groups, stats_groups=stats_groups)
+        trig = extr_fc(extr_head(feat, **hkw))
+        scale_size_raw = jnp.tanh(size_fc(size_head(feat, **hkw)))
+        scale_persp_raw = jnp.tanh(persp_fc(persp_head(feat, **hkw)))
+        scale_size = 1.0 + scale_size_raw[..., 0] * self.size_range
+        scale_perspect = 1.0 + scale_persp_raw[..., 0] * self.perspect_range
+        return EstimatorOutputs(
+            trig_azim=_normalize(trig[:, 0:2]),
+            trig_elev=_normalize(trig[:, 2:4]),
+            trig_theta=_normalize(trig[:, 4:6]),
+            scale_focal=scale_perspect,
+            scale_dist=scale_size * scale_perspect)
 
     @staticmethod
     def from_opt(opt, dtype=jnp.float32):

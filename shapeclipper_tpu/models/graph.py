@@ -163,17 +163,20 @@ class Graph:
         out = module.apply(variables, *args, train=False, **kwargs)
         return out, stats
 
-    def pred_pose(self, params, stats, images, train, bn_eval, head_split=0):
+    def pred_pose(self, params, stats, images, train, bn_eval, groups=1,
+                  stats_groups=None):
         """Estimator -> (pose [B,3,4], intr, scale_dist, trig tuple, new_stats).
 
         Rotation composed as Rz·Rx·Ry·R_permute with z-translation
-        dist·scale_dist (reference `model/graph.py:267-293`).
+        dist·scale_dist (reference `model/graph.py:267-293`). `groups` batches
+        several estimator passes into one ResNet18 call with per-group BN
+        moments (exact parity with separate calls — see GroupBatchNorm).
         """
         opt = self.opt
         est, new_stats = self._apply_bn(self.estimator, params["estimator"],
                                         stats["estimator"], (images,),
-                                        train, bn_eval,
-                                        head_split=head_split)
+                                        train, bn_eval, groups=groups,
+                                        stats_groups=stats_groups)
         Ry = camera.azim_to_rotation_matrix(est.trig_azim, "trig")
         Rx = camera.elev_to_rotation_matrix(est.trig_elev, "trig")
         Rz = camera.roll_to_rotation_matrix(est.trig_theta, "trig")
@@ -265,50 +268,64 @@ class Graph:
         ray_idx = var.get("ray_idx") if (opt.render.rand_sample and training) \
             else None
 
-        if "latent" in var:  # pretraining injects random latents
-            latent_raw = var.latent
-            latent_shape = latent_raw[:, :opt.arch.latent_dim_shape]
-            latent_rgb = latent_raw[:, opt.arch.latent_dim_shape:]
-            proj_sdf, s_ps = self._apply_bn(
-                self.latent_proj_shape, params["latent_proj_shape"],
-                stats["latent_proj_shape"], (latent_shape,), training, bn_eval)
-            proj_rgb, s_pr = self._apply_bn(
-                self.latent_proj_rgb, params["latent_proj_rgb"],
-                stats["latent_proj_rgb"], (latent_rgb,), training, bn_eval)
-            new_stats = dict(stats)
-            new_stats.update(latent_proj_shape=s_ps, latent_proj_rgb=s_pr)
-        else:
-            proj_sdf, proj_rgb, latent_raw, new_stats = self.encode(
-                params, stats, var.rgb_input_map, training, bn_eval)
-        var.proj_latent_sdf, var.proj_latent_rgb = proj_sdf, proj_rgb
-
         sym_merge = (training and opt.loss_weight.get("cam_sym") is not None
                      and opt.get("tpu", {}).get("merge_flip_estimator", True))
-        if sym_merge:
-            # run the query AND horizontally-flipped estimator passes as ONE
-            # ResNet18 batch. EXACT BN parity with two separate calls: a
-            # horizontal flip leaves per-channel batch moments unchanged, so
-            # the merged batch statistics equal the query-only statistics
-            # (which is also why the reference's in-loss flip pass shares
-            # them, `model/loss.py:114`); one stats update instead of the
-            # reference's discarded duplicate.
-            B = var.rgb_input_map.shape[0]
-            both = jnp.concatenate(
-                [var.rgb_input_map, var.rgb_input_map[:, :, ::-1, :]])
-            # head_split: conv backbone batched; BN1d heads per half (their
-            # batch stats are NOT flip-invariant, see Estimator.__call__)
-            pose2, intr2, est2, s_est = self.pred_pose(
-                params, new_stats, both, training, bn_eval, head_split=B)
-            pose, intr = pose2[:B], intr2[:B]
-            est = jax.tree_util.tree_map(lambda a: a[:B], est2)
-            var.trig_azim_flipped = est2.trig_azim[B:]
-            var.trig_elev_flipped = est2.trig_elev[B:]
-            var.trig_theta_flipped = est2.trig_theta[B:]
+        nn_active = ((opt.loss_weight.get("nearest_img") is not None
+                      or opt.loss_weight.get("nearest_mask") is not None)
+                     and training and "rgb_input_map_NN" in var)
+        # merge the query + NN-view encoder AND estimator chains into ONE
+        # grouped-BN call each (per step: one ResNet34 + one ResNet18 instead
+        # of the reference's (1+V) + (2+V) chains, `model/graph.py:174-218`)
+        merge_enc = (nn_active and "latent" not in var
+                     and opt.get("tpu", {}).get("merge_encoders", True))
+
+        prep = None
+        if merge_enc:
+            sels = self._nn_select(var, rng_nn, training)
+            (proj_sdf, proj_rgb, latent_raw, pose, intr, est, prep,
+             new_stats) = self._encode_and_pose_merged(
+                params, stats, var, sels, training, bn_eval, sym_merge)
         else:
-            pose, intr, est, s_est = self.pred_pose(
-                params, new_stats, var.rgb_input_map, training, bn_eval)
-        new_stats = dict(new_stats)
-        new_stats["estimator"] = s_est
+            if "latent" in var:  # pretraining injects random latents
+                latent_raw = var.latent
+                latent_shape = latent_raw[:, :opt.arch.latent_dim_shape]
+                latent_rgb = latent_raw[:, opt.arch.latent_dim_shape:]
+                proj_sdf, s_ps = self._apply_bn(
+                    self.latent_proj_shape, params["latent_proj_shape"],
+                    stats["latent_proj_shape"], (latent_shape,), training,
+                    bn_eval)
+                proj_rgb, s_pr = self._apply_bn(
+                    self.latent_proj_rgb, params["latent_proj_rgb"],
+                    stats["latent_proj_rgb"], (latent_rgb,), training, bn_eval)
+                new_stats = dict(stats)
+                new_stats.update(latent_proj_shape=s_ps, latent_proj_rgb=s_pr)
+            else:
+                proj_sdf, proj_rgb, latent_raw, new_stats = self.encode(
+                    params, stats, var.rgb_input_map, training, bn_eval)
+            if sym_merge:
+                # query AND horizontally-flipped estimator passes as ONE
+                # ResNet18 batch with PER-GROUP BN moments — each half is
+                # normalized exactly as a separate call would be (the
+                # reference runs the flip pass in-loss, `model/loss.py:114`),
+                # and only the query half updates the running stats (the
+                # reference's duplicate update is discarded).
+                B = var.rgb_input_map.shape[0]
+                both = jnp.concatenate(
+                    [var.rgb_input_map, var.rgb_input_map[:, :, ::-1, :]])
+                pose2, intr2, est2, s_est = self.pred_pose(
+                    params, new_stats, both, training, bn_eval, groups=2,
+                    stats_groups=(0,))
+                pose, intr = pose2[:B], intr2[:B]
+                est = jax.tree_util.tree_map(lambda a: a[:B], est2)
+                var.trig_azim_flipped = est2.trig_azim[B:]
+                var.trig_elev_flipped = est2.trig_elev[B:]
+                var.trig_theta_flipped = est2.trig_theta[B:]
+            else:
+                pose, intr, est, s_est = self.pred_pose(
+                    params, new_stats, var.rgb_input_map, training, bn_eval)
+            new_stats = dict(new_stats)
+            new_stats["estimator"] = s_est
+        var.proj_latent_sdf, var.proj_latent_rgb = proj_sdf, proj_rgb
         var.pose, var.intr, var.scale_dist = pose, intr, est.scale_dist
         var.trig_azim, var.trig_elev, var.trig_theta = (
             est.trig_azim, est.trig_elev, est.trig_theta)
@@ -319,9 +336,6 @@ class Graph:
         if normal_sup is not None:
             var.normal_transformed = camera.transform_normal(normal_sup, pose)
 
-        nn_active = ((opt.loss_weight.get("nearest_img") is not None
-                      or opt.loss_weight.get("nearest_mask") is not None)
-                     and training and "rgb_input_map_NN" in var)
         merge_nn = (nn_active and not visualize
                     and bool(opt.render.rand_sample)
                     and ray_idx is not None and "ray_idx_NN" in var
@@ -330,7 +344,8 @@ class Graph:
         if merge_nn:
             new_stats = self._forward_merged(
                 params, new_stats, var, (rng_render, rng_nn), training,
-                bn_eval, pose, intr, est, proj_sdf, proj_rgb, ray_idx)
+                bn_eval, pose, intr, est, proj_sdf, proj_rgb, ray_idx,
+                prep=prep)
         else:
             out = self.render(params, pose, intr, est.scale_dist, proj_sdf,
                               proj_rgb, ray_idx, rng_render, training,
@@ -344,7 +359,8 @@ class Graph:
                 var.rendering_rgb = out.extras["rgb_samples"]
             if nn_active:
                 new_stats = self.forward_NN(params, new_stats, var, rng_nn,
-                                            rng_nn_render, training, bn_eval)
+                                            rng_nn_render, training, bn_eval,
+                                            prep=prep)
 
         if not (opt.render.rand_sample and training):
             B = var.rgb_recon.shape[0]
@@ -364,7 +380,8 @@ class Graph:
         return var, loss, new_stats
 
     def _forward_merged(self, params, stats, var, rngs, training, bn_eval,
-                        pose, intr, est, proj_sdf, proj_rgb, ray_idx):
+                        pose, intr, est, proj_sdf, proj_rgb, ray_idx,
+                        prep=None):
         """ONE batched field evaluation for the query + all NN views
         (tpu.merge_nn_render): the SDF/RGB fwd+bwd chains dominate the train
         step and the reference runs them once per view
@@ -372,13 +389,16 @@ class Graph:
         M-dimension by (1+n_views) and removes a full per-view chain of op
         dispatches. Semantically identical per view (the eikonal sampling is
         restricted to the query slice); only the stratified-jitter RNG stream
-        differs from the sequential formulation."""
+        differs from the sequential formulation. `prep` carries the per-view
+        render inputs when the encoder merge already computed them."""
         opt = self.opt
         rng_render, rng_nn = rngs
         B = pose.shape[0]
         V = opt.reg.n_views
-        prep, new_stats = self._nn_prepare(params, stats, var, rng_nn,
-                                           training, bn_eval)
+        new_stats = stats
+        if prep is None:
+            prep, new_stats = self._nn_prepare(params, stats, var, rng_nn,
+                                               training, bn_eval)
         pose_all = jnp.concatenate([pose] + [p["pose"] for p in prep])
         intr_all = jnp.concatenate([intr] + [p["intr"] for p in prep])
         scale_all = jnp.concatenate([est.scale_dist]
@@ -407,11 +427,11 @@ class Graph:
         return new_stats
 
     # ------------------------------------------------------------- NN branch
-    def _nn_prepare(self, params, stats, var, rng_select, training, bn_eval):
-        """Neighbor selection + per-view encode/pose (reference
-        `model/graph.py:114-205`): stores input_NN_v / idx_NN / pose_NN_v /
-        intr_NN_v / scale_dist_NN_v / proj_latent_rgb_NN_v in var and returns
-        (per-view render inputs, new_stats). NN tensors are [B, K, ...]."""
+    def _nn_select(self, var, rng_select, training):
+        """IoU-weighted neighbor selection + per-view input gathering
+        (reference `model/graph.py:119-142`): stores idx_NN / input_NN_v in
+        var and returns the per-view input edicts. NN tensors are
+        [B, K, ...]; selection is device-side Gumbel top-k."""
         opt = self.opt
         K = var.rgb_input_map_NN.shape[1]
         V = opt.reg.n_views
@@ -446,7 +466,7 @@ class Graph:
             return jnp.take_along_axis(
                 arr, idx.reshape(B, *([1] * (arr.ndim - 1))), axis=1)[:, 0]
 
-        prep = []
+        sels = []
         for v in range(V):
             sel = edict()
             for key in ("rgb_input_map", "mask_input_map", "normal_input_map",
@@ -457,7 +477,93 @@ class Graph:
             if "pose_gt_NN" in var:
                 sel.pose_gt = take(var.pose_gt_NN, v)
             var[f"input_NN_{v}"] = sel
+            sels.append(sel)
+        return sels
 
+    def _encode_and_pose_merged(self, params, stats, var, sels, training,
+                                bn_eval, sym_merge):
+        """ONE grouped-BN ResNet34 call for the query + NN-view encoders and
+        ONE grouped-BN ResNet18 call for the query (+ flipped) + NN-view
+        estimator passes (tpu.merge_encoders). Numerically equal to the
+        sequential per-view calls (reference `model/graph.py:174-218`,
+        `model/loss.py:114`): each view-group is normalized by its own batch
+        moments and the running stats compose the same sequential EMA —
+        query first, then each NN view; the flip group's update is discarded
+        exactly as in the unmerged path."""
+        opt = self.opt
+        B = var.rgb_input_map.shape[0]
+        V = len(sels)
+        D_s = opt.arch.latent_dim_shape
+
+        # ---- encoder: groups [query, NN_0..NN_{V-1}]
+        imgs = jnp.concatenate([var.rgb_input_map]
+                               + [s.rgb_input_map for s in sels])
+        latent_all, s_enc = self._apply_bn(
+            self.encoder, params["encoder"], stats["encoder"], (imgs,),
+            training, bn_eval, groups=1 + V)
+        latent_raw = latent_all[:B]
+        latent_shape = latent_raw[:, :D_s]
+        proj_sdf, s_ps = self._apply_bn(
+            self.latent_proj_shape, params["latent_proj_shape"],
+            stats["latent_proj_shape"], (latent_shape,), training, bn_eval)
+        # the NN views re-use the QUERY's SDF latent (cross-instance shape
+        # consistency) but project their OWN RGB latent — batch those too
+        proj_rgb_all, s_pr = self._apply_bn(
+            self.latent_proj_rgb, params["latent_proj_rgb"],
+            stats["latent_proj_rgb"], (latent_all[:, D_s:],), training,
+            bn_eval, groups=1 + V)
+        proj_rgb = proj_rgb_all[:B]
+        new_stats = dict(stats)
+        new_stats.update(encoder=s_enc, latent_proj_shape=s_ps,
+                         latent_proj_rgb=s_pr)
+
+        # ---- estimator: groups [query (, flipped), NN_0..NN_{V-1}]
+        f = 1 if sym_merge else 0
+        est_imgs = [var.rgb_input_map]
+        if sym_merge:
+            est_imgs.append(var.rgb_input_map[:, :, ::-1, :])
+        est_imgs += [s.rgb_input_map for s in sels]
+        G = 1 + f + V
+        pose_all, intr_all, est_all, s_est = self.pred_pose(
+            params, new_stats, jnp.concatenate(est_imgs), training, bn_eval,
+            groups=G, stats_groups=(0,) + tuple(range(1 + f, G)))
+        new_stats["estimator"] = s_est
+        pose, intr = pose_all[:B], intr_all[:B]
+        est = jax.tree_util.tree_map(lambda a: a[:B], est_all)
+        if sym_merge:
+            var.trig_azim_flipped = est_all.trig_azim[B:2 * B]
+            var.trig_elev_flipped = est_all.trig_elev[B:2 * B]
+            var.trig_theta_flipped = est_all.trig_theta[B:2 * B]
+
+        prep = []
+        for v in range(V):
+            lo, hi = (1 + f + v) * B, (2 + f + v) * B
+            proj_rgb_NN = proj_rgb_all[(1 + v) * B:(2 + v) * B]
+            var[f"proj_latent_rgb_NN_{v}"] = proj_rgb_NN
+            # reference parity: `proj_latent_rgb_NN` is overwritten every NN
+            # view and so holds the LAST view's latent (reference
+            # `model/graph.py:199-200`); vis_rotate(vis_NN=True) reads it
+            var.proj_latent_rgb_NN = proj_rgb_NN
+            var[f"pose_NN_{v}"] = pose_all[lo:hi]
+            var[f"intr_NN_{v}"] = intr_all[lo:hi]
+            var[f"scale_dist_NN_{v}"] = est_all.scale_dist[lo:hi]
+            prep.append(dict(pose=pose_all[lo:hi], intr=intr_all[lo:hi],
+                             scale_dist=est_all.scale_dist[lo:hi],
+                             proj_rgb=proj_rgb_NN,
+                             ray_idx=sels[v].get("ray_idx")))
+        return (proj_sdf, proj_rgb, latent_raw, pose, intr, est, prep,
+                new_stats)
+
+    def _nn_prepare(self, params, stats, var, rng_select, training, bn_eval):
+        """Neighbor selection + SEQUENTIAL per-view encode/pose (reference
+        `model/graph.py:114-205`): stores input_NN_v / idx_NN / pose_NN_v /
+        intr_NN_v / scale_dist_NN_v / proj_latent_rgb_NN_v in var and returns
+        (per-view render inputs, new_stats). The training fast path replaces
+        this with _encode_and_pose_merged (tpu.merge_encoders)."""
+        opt = self.opt
+        sels = self._nn_select(var, rng_select, training)
+        prep = []
+        for v, sel in enumerate(sels):
             # re-encode the NN image for its RGB latent; the SDF latent stays
             # the QUERY's (cross-instance shape consistency)
             latent_NN, s_enc = self._apply_bn(
@@ -489,15 +595,18 @@ class Graph:
         return prep, stats
 
     def forward_NN(self, params, stats, var, rng_select, rng_render,
-                   training, bn_eval):
+                   training, bn_eval, prep=None):
         """CLIP nearest-neighbor consistency branch, one render per view
         (reference `model/graph.py:114-218`). The training fast path batches
-        these renders with the query's instead (_forward_merged)."""
+        these renders with the query's instead (_forward_merged); `prep`
+        carries per-view render inputs when the encoder merge already
+        computed them."""
         opt = self.opt
         B = var.rgb_input_map.shape[0]
         V = opt.reg.n_views
-        prep, stats = self._nn_prepare(params, stats, var, rng_select,
-                                       training, bn_eval)
+        if prep is None:
+            prep, stats = self._nn_prepare(params, stats, var, rng_select,
+                                           training, bn_eval)
         rngs_r = (jax.random.split(rng_render, V) if rng_render is not None
                   else [None] * V)
         for v, p in enumerate(prep):

@@ -19,6 +19,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+from .layers import GroupBatchNorm
+
 conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
@@ -26,11 +28,14 @@ class BasicBlock(nn.Module):
     filters: int
     strides: int = 1
     dtype: Any = jnp.float32
+    groups: int = 1
+    stats_groups: tuple | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        norm = partial(nn.BatchNorm, use_running_average=not train,
-                       momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        norm = partial(GroupBatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                       groups=self.groups, stats_groups=self.stats_groups)
         residual = x
         y = nn.Conv(self.filters, (3, 3), strides=(self.strides, self.strides),
                     padding=1, use_bias=False, kernel_init=conv_init,
@@ -58,13 +63,18 @@ class ResNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, groups: int = 1,
+                 stats_groups: tuple | None = None):
+        """`groups=G` treats the batch as G view-groups of equal size and
+        computes BatchNorm moments per group (see GroupBatchNorm) — the
+        machinery behind the one-call query+flip+NN encoder merge."""
         # x: [B, H, W, 3] float in [0, 1]
         x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     kernel_init=conv_init, dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+        x = GroupBatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=self.dtype, groups=groups,
+                           stats_groups=stats_groups, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for i, block_count in enumerate(self.stage_sizes):
@@ -72,6 +82,7 @@ class ResNet(nn.Module):
             for j in range(block_count):
                 strides = 2 if (i > 0 and j == 0) else 1
                 x = BasicBlock(filters, strides=strides, dtype=self.dtype,
+                               groups=groups, stats_groups=stats_groups,
                                name=f"layer{i + 1}_block{j}")(x, train=train)
         x = jnp.mean(x, axis=(1, 2))  # global average pool -> [B, 512]
         x = x.astype(jnp.float32)

@@ -212,17 +212,59 @@ def _nn_dists_xla_bidir(x1, x2, tile1=None, tile2=None):
             jnp.maximum(best2.reshape(-1)[:n2], 0.0))
 
 
+def _nn_dists_xla_onedir(x1, x2, tile1=None, tile2=None):
+    """Distance-only single-direction tiled NN (the `_nn_one_direction_xla`
+    sweep without the argmin bookkeeping). x1 [N1,3], x2 [N2,3] -> [N1]."""
+    import os
+    tile1 = tile1 or int(os.environ.get("SCL_CHAMFER_TILE1", 4096))
+    tile2 = tile2 or int(os.environ.get("SCL_CHAMFER_TILE2", 16384))
+    n1, n2 = x1.shape[0], x2.shape[0]
+    n1p, n2p = _round_up(n1, tile1), _round_up(n2, tile2)
+    x1p = jnp.zeros((n1p, 3), x1.dtype).at[:n1].set(x1)
+    x2p = jnp.full((n2p, 3), 0.0, x2.dtype).at[:n2].set(x2)
+    x2p = x2p.at[n2:, 0].set(1e15)
+    x1t = x1p.reshape(n1p // tile1, tile1, 3)
+    x2t = x2p.reshape(n2p // tile2, tile2, 3)
+
+    def outer(_, a):                                   # a: [tile1, 3]
+        a_sq = jnp.sum(a * a, axis=-1)
+
+        def inner(best, bt):                           # bt: [tile2, 3]
+            b_sq = jnp.sum(bt * bt, axis=-1)
+            cross = jax.lax.dot_general(
+                a, bt, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            d = jnp.min(b_sq[None, :] - 2.0 * cross, axis=1)
+            return jnp.minimum(best, d), None
+
+        init = jnp.full((a.shape[0],), BIG, jnp.float32)
+        best, _ = jax.lax.scan(inner, init, x2t)
+        return None, jnp.maximum(best + a_sq, 0.0)
+
+    _, dist = jax.lax.scan(outer, None, x1t)
+    return dist.reshape(-1)[:n1]
+
+
 def chamfer_dists_sq(x1, x2):
     """Forward-only bidirectional squared NN distances (no argmin indices).
 
     x1: [B, N1, 3], x2: [B, N2, 3] -> (dist1 [B, N1], dist2 [B, N2]).
     The metric path (`eval3d/metrics.py`) uses this: it never reads the
     indices and never differentiates, so the index bookkeeping of
-    `chamfer_distance_sq` is pure waste there."""
+    `chamfer_distance_sq` is pure waste there. SCL_CHAMFER_DISTS picks the
+    XLA formulation: 'twopass' (default; one min-reduce along the fast axis
+    per direction) or 'bidir' (each cross-distance tile reduced along both
+    axes in one sweep — measured SLOWER on v5e: the axis-0 min costs more
+    than the saved matmuls)."""
+    import os
     if _impl() == "pallas":
         f = partial(_nn_dist_one_direction, interpret=_use_interpret())
         return jax.vmap(f)(x1, x2), jax.vmap(f)(x2, x1)
-    return jax.vmap(_nn_dists_xla_bidir)(x1, x2)
+    if os.environ.get("SCL_CHAMFER_DISTS", "twopass") == "bidir":
+        return jax.vmap(_nn_dists_xla_bidir)(x1, x2)
+    f = _nn_dists_xla_onedir
+    return jax.vmap(f)(x1, x2), jax.vmap(f)(x2, x1)
 
 
 def _use_interpret():

@@ -232,10 +232,134 @@ def test_merged_nn_render_matches_sequential(tmp_path):
         abs(losses[False]) + 1e-3)
 
 
+def test_merged_encoders_match_sequential(tmp_path):
+    """tpu.merge_encoders: ONE grouped-BN ResNet34 + ONE ResNet18 call per
+    step must reproduce the sequential per-view formulation — poses, latents,
+    per-view NN fields, every loss term, and the running-stats updates."""
+    import jax.numpy as jnp
+    from shapeclipper_tpu.data import synthetic
+    from shapeclipper_tpu.data.base import default_collate
+    from shapeclipper_tpu.models.graph import Graph, summarize_loss
+
+    # 64x64: at 32x32 the layer4 BN moments average only B samples (1x1
+    # spatial) and amplify the env's conv-lowering noise (see test_group_bn)
+    opt = tiny_opt(tmp_path)
+    opt.update(image_size=[64, 64])
+    opt.H, opt.W = opt.image_size
+    ds = synthetic.Dataset(opt, split="train")
+    batch = default_collate([ds[0], ds[1], ds[2], ds[3]])
+    batch = edict({k: jnp.asarray(v) for k, v in batch.items()})
+
+    results = {}
+    for merge in (True, False):
+        o = opt.deepcopy()
+        o.tpu.merge_encoders = merge
+        o.tpu.merge_flip_estimator = merge  # off-arm: fully sequential
+        g = Graph(o)
+        state = g.init(jax.random.PRNGKey(0))
+        var, loss, stats = g.forward(state["params"], state["batch_stats"],
+                                     batch, jax.random.PRNGKey(7),
+                                     training=True)
+        loss = summarize_loss(o, loss)
+        assert bool(loss.finite)
+        results[merge] = (var, loss, stats)
+
+    var_m, loss_m, stats_m = results[True]
+    var_s, loss_s, stats_s = results[False]
+    # proj_latent_rgb_NN_0 is excluded here: the 8-virtual-device env lowers
+    # batch-(1+V)B and batch-B convs differently (~2e-6 on the latents) and
+    # train-mode BN on the near-constant pooled latents of similar synthetic
+    # images amplifies that input noise ~1e4x (intrinsic BN sensitivity, the
+    # torch reference has it too). test_merged_encoders_exact_single_device
+    # checks it strictly where convs are bit-exact.
+    for key in ("pose", "intr", "scale_dist", "trig_azim", "trig_elev",
+                "trig_theta", "proj_latent_sdf", "proj_latent_rgb",
+                "idx_NN", "pose_NN_0", "scale_dist_NN_0"):
+        np.testing.assert_allclose(np.asarray(var_m[key]),
+                                   np.asarray(var_s[key]),
+                                   rtol=1e-3, atol=1e-4, err_msg=key)
+    # the flipped trigs only exist on the merged arm's flip group; compare
+    # against the off-arm's in-loss separate call via the loss value instead
+    for key in loss_m:
+        if key in ("finite",):
+            continue
+        np.testing.assert_allclose(float(np.mean(np.asarray(loss_m[key]))),
+                                   float(np.mean(np.asarray(loss_s[key]))),
+                                   rtol=5e-3, atol=5e-4, err_msg=key)
+    # stats of the latent-proj BNs sit downstream of the amplified latents;
+    # the single-device test pins them at 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(stats_m),
+                    jax.tree_util.tree_leaves(stats_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=2e-3)
+
+
+def test_merged_encoders_exact_single_device(tmp_path):
+    """Strict merged-vs-sequential parity (incl. proj_latent_rgb_NN_0) in a
+    single-XLA-device subprocess, where concat-vs-slice convs are bit-exact
+    and nothing masks a wiring bug."""
+    import subprocess
+    import sys
+
+    script = r"""
+import sys, tempfile
+sys.path.insert(0, "tests")
+import jax, jax.numpy as jnp, numpy as np
+from test_train_step import tiny_opt
+from shapeclipper_tpu.data import synthetic
+from shapeclipper_tpu.data.base import default_collate
+from shapeclipper_tpu.models.graph import Graph, summarize_loss
+from shapeclipper_tpu.utils.easydict import EasyDict as edict
+opt = tiny_opt(tempfile.mkdtemp())
+opt.update(image_size=[64, 64]); opt.H, opt.W = opt.image_size
+ds = synthetic.Dataset(opt, split="train")
+batch = default_collate([ds[0], ds[1], ds[2], ds[3]])
+batch = edict({k: jnp.asarray(v) for k, v in batch.items()})
+results = {}
+for merge in (True, False):
+    o = opt.deepcopy()
+    o.tpu.merge_encoders = merge
+    o.tpu.merge_flip_estimator = merge
+    g = Graph(o)
+    state = g.init(jax.random.PRNGKey(0))
+    var, loss, stats = g.forward(state["params"], state["batch_stats"],
+                                 batch, jax.random.PRNGKey(7), training=True)
+    results[merge] = (var, summarize_loss(o, loss), stats)
+var_m, loss_m, stats_m = results[True]
+var_s, loss_s, stats_s = results[False]
+for key in ("pose", "intr", "scale_dist", "trig_azim", "trig_elev",
+            "trig_theta", "proj_latent_sdf", "proj_latent_rgb", "idx_NN",
+            "pose_NN_0", "scale_dist_NN_0", "proj_latent_rgb_NN_0",
+            "rgb_recon", "mask_recon", "grad_eikonal", "rgb_recon_NN_0"):
+    np.testing.assert_allclose(np.asarray(var_m[key]),
+                               np.asarray(var_s[key]),
+                               rtol=1e-5, atol=1e-5, err_msg=key)
+for key in loss_m:
+    if key == "finite":
+        continue
+    np.testing.assert_allclose(float(np.mean(np.asarray(loss_m[key]))),
+                               float(np.mean(np.asarray(loss_s[key]))),
+                               rtol=1e-5, atol=1e-6, err_msg=key)
+for a, b in zip(jax.tree_util.tree_leaves(stats_m),
+                jax.tree_util.tree_leaves(stats_s)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+print("SINGLE_DEVICE_PARITY_OK")
+"""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["SCL_PLATFORM"] = "cpu"
+    r = subprocess.run([sys.executable, "-c", script], cwd=os.path.join(
+        os.path.dirname(__file__), ".."), env=env, capture_output=True,
+        text=True, timeout=1200)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "SINGLE_DEVICE_PARITY_OK" in r.stdout
+
+
 def test_flip_merged_estimator_matches_separate(tmp_path):
     """tpu.merge_flip_estimator batches the query + horizontally-flipped
-    estimator passes; per-half outputs must match separate calls (conv BN
-    moments are flip-invariant; head BN runs per half via head_split)."""
+    estimator passes with PER-GROUP BN moments (GroupBatchNorm) — each half
+    must match a separate call."""
     import jax.numpy as jnp
     from shapeclipper_tpu.data import synthetic
     from shapeclipper_tpu.data.base import default_collate
