@@ -16,6 +16,22 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 
+def _warp_rot_zoom(img, theta, zoom, cval):
+    """Center rotate+zoom an [H,W,C] float map: output pixel p samples input
+    at c + zoom*R(theta)@(p-c) (bilinear; constant `cval` outside)."""
+    from scipy import ndimage
+    H, W = img.shape[:2]
+    c, s = np.cos(theta), np.sin(theta)
+    A = np.array([[c, -s], [s, c]], np.float64) * zoom
+    center = np.array([(H - 1) / 2.0, (W - 1) / 2.0])
+    offset = center - A @ center
+    out = [ndimage.affine_transform(img[..., k].astype(np.float64), A,
+                                    offset=offset, order=1,
+                                    mode="constant", cval=cval)
+           for k in range(img.shape[-1])]
+    return np.stack(out, -1).astype(np.float32)
+
+
 def default_collate(samples):
     """Stack a list of dict samples (values: np arrays / scalars / dicts)."""
     out = {}
@@ -68,6 +84,71 @@ class Dataset:
             t = abs(aug["hue"])
             x = np.clip((1 - t) * x + t * rolled, 0, 1)
         return x
+
+    # The reference generates flip/crop_ratio/rot_angle params
+    # (`data/base.py:41-58`) and provides the crop helper
+    # (`data/pix3d.py:317-326`); this apply path makes every generated knob
+    # effective on the resized float maps, keeping ray sampling consistent
+    # (augmentation runs BEFORE the distance-transform ray sampler, so
+    # ray_idx is always drawn from the augmented mask).
+    def apply_augmentation(self, opt, rgb, mask, normal, aug):
+        """Apply a generated `aug` dict to ([H,W,3], [H,W,1], [H,W,3]) maps:
+        color jitter on rgb, horizontal flip, and a combined center
+        rotate+zoom warp (crop_ratio>1 zooms out with background padding,
+        matching the reference's `square_crop` S2=S*crop_ratio semantics).
+        Flip negates the normal's x component; rotation rotates the in-plane
+        (x,y) normal components with the image content."""
+        rgb = self.apply_color_jitter(rgb, aug)
+        if aug["flip"]:
+            rgb, mask, normal = rgb[:, ::-1], mask[:, ::-1], normal[:, ::-1]
+            normal = normal * np.array([-1.0, 1.0, 1.0], np.float32)
+        if aug["rot_angle"] or aug["crop_ratio"] != 1:
+            th = np.deg2rad(aug["rot_angle"])
+            bg = float(opt.data.bgcolor or 0.0)
+            rgb = _warp_rot_zoom(rgb, th, aug["crop_ratio"], bg)
+            mask = (_warp_rot_zoom(mask, th, aug["crop_ratio"], 0.0)
+                    > 0.5).astype(np.float32)
+            c, s = np.cos(th), np.sin(th)
+            nx, ny = normal[..., 0], normal[..., 1]
+            normal = np.stack([c * nx - s * ny, s * nx + c * ny,
+                               normal[..., 2]], -1)
+            normal = _warp_rot_zoom(normal, th, aug["crop_ratio"], 0.0)
+            nrm = np.linalg.norm(normal, axis=-1, keepdims=True)
+            normal = normal / np.maximum(nrm, 1e-8) * mask
+        return (np.ascontiguousarray(rgb, np.float32),
+                np.ascontiguousarray(mask, np.float32),
+                np.ascontiguousarray(normal, np.float32))
+
+    def augment_mask2d(self, mask2d, aug):
+        """Geometric part only, on a [H,W] mask (the preselect-NN path draws
+        ray indices from the neighbor mask before the full load — this keeps
+        those indices consistent with the later-augmented maps)."""
+        m = np.asarray(mask2d, np.float32)
+        if aug["flip"]:
+            m = m[:, ::-1]
+        if aug["rot_angle"] or aug["crop_ratio"] != 1:
+            th = np.deg2rad(aug["rot_angle"])
+            m = (_warp_rot_zoom(m[..., None], th, aug["crop_ratio"], 0.0)
+                 [..., 0] > 0.5).astype(np.float32)
+        return np.ascontiguousarray(m)
+
+    def augment_pose(self, pose, aug):
+        """GT-pose consistency (vis overlays only at train time): horizontal
+        flip conjugates the rotation by M=diag(-1,1,1) — exactly the
+        azim->-azim, theta->-theta, elev-invariant convention of the
+        reference's cam_sym loss (`model/loss.py:113-132`); in-plane image
+        rotation pre-multiplies a camera roll. The z-only translation is
+        invariant under both."""
+        R, t = np.asarray(pose[:, :3], np.float32), pose[:, 3:]
+        if aug["flip"]:
+            M = np.diag([-1.0, 1.0, 1.0]).astype(np.float32)
+            R = M @ R @ M
+        if aug["rot_angle"]:
+            th = np.deg2rad(aug["rot_angle"])
+            c, s = np.cos(th), np.sin(th)
+            Rz = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+            R = Rz @ R
+        return np.concatenate([R, np.asarray(t, np.float32)], axis=1)
 
     def __len__(self):
         return len(self.list)

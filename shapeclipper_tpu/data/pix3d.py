@@ -205,6 +205,13 @@ class Dataset(base.Dataset):
         c, name = self.list[idx]
         rgb_map, mask_map = self.preprocess_image(opt, image)
         normal_map = self.get_normal(opt, meta, mask_map)
+        aug = self.generate_augmentation(opt, rng) if self.augment else None
+        nn_augs = ([self.generate_augmentation(opt, rng)
+                    for _ in range(opt.data.k_nearest)] if self.augment
+                   else None)
+        if aug is not None:
+            rgb_map, mask_map, normal_map = self.apply_augmentation(
+                opt, rgb_map, mask_map, normal_map, aug)
         sample.update(
             rgb_input_map=rgb_map, mask_input_map=mask_map,
             normal_input_map=normal_map,
@@ -217,6 +224,8 @@ class Dataset(base.Dataset):
             sample["ray_idx"] = ray_idx
 
         intr, pose = self.get_camera(opt, meta)
+        if aug is not None:
+            pose = self.augment_pose(pose, aug)
         sample.update(pose_gt=pose, intr=intr,
                       dpc_points=self.get_pointcloud(meta))
 
@@ -238,6 +247,8 @@ class Dataset(base.Dataset):
                 m = np.asarray(m.resize((self.W, self.H)),
                                np.float32) / 255.0
                 m = (m > 0.5).astype(np.float32)
+                if nn_augs is not None:
+                    m = self.augment_mask2d(m, nn_augs[i])
                 ridx = sample_ray_indices(m, opt.render.rand_sample,
                                           opt.render.ray_uniform_fac, rng) \
                     if opt.render.rand_sample else None
@@ -248,6 +259,8 @@ class Dataset(base.Dataset):
                 opt, sample["mask_input"], nn_masks_sampled, rng)
             neighbors = [neighbors[j] for j in selected]
             preselected_ray_idx = [nn_ray_idx[j] for j in selected]
+            if nn_augs is not None:
+                nn_augs = [nn_augs[j] for j in selected]
             k_range = len(neighbors)
         else:
             preselected_ray_idx = None
@@ -258,6 +271,9 @@ class Dataset(base.Dataset):
             image_n = self.get_image(meta_n)
             rgb_map_n, mask_map_n = self.preprocess_image(opt, image_n)
             normal_map_n = self.get_normal(opt, meta_n, mask_map_n)
+            if nn_augs is not None:
+                rgb_map_n, mask_map_n, normal_map_n = self.apply_augmentation(
+                    opt, rgb_map_n, mask_map_n, normal_map_n, nn_augs[i])
             maps["rgb_input_map_NN"].append(rgb_map_n)
             maps["mask_input_map_NN"].append(mask_map_n)
             maps["normal_input_map_NN"].append(normal_map_n)
@@ -271,7 +287,7 @@ class Dataset(base.Dataset):
             if ray_idx_n is not None:
                 tensors["ray_idx_NN"].append(ray_idx_n)
             # reference quirk: neighbor pose = query pose (data/pix3d.py:192)
-            tensors["pose_gt_NN"].append(self.get_camera(opt, meta)[1])
+            tensors["pose_gt_NN"].append(pose)
 
         for k, v in maps.items():
             sample[k] = np.stack(v)

@@ -104,13 +104,22 @@ class Dataset(base.Dataset):
                 img = self.transform(img)
             sample.update(rgb_input=img)
             return sample
+        aug = self.generate_augmentation(opt, rng) if self.augment else None
+        nn_augs = ([self.generate_augmentation(opt, rng)
+                    for _ in range(opt.data.k_nearest)] if self.augment
+                   else None)
+        pose_q = self._pose(idx)
+        if aug is not None:
+            rgb_map, mask_map, normal_map = self.apply_augmentation(
+                opt, rgb_map, mask_map, normal_map, aug)
+            pose_q = self.augment_pose(pose_q, aug)
         rgb, mask, normal, ray_idx = self._sample_map(
             rgb_map, mask_map, normal_map, rng)
         sample.update(
             rgb_input_map=rgb_map, mask_input_map=mask_map,
             normal_input_map=normal_map, category_label=np.int32(0),
             rgb_input=rgb, mask_input=mask, normal_input=normal,
-            pose_gt=self._pose(idx),
+            pose_gt=pose_q,
             intr=np.array([[opt.camera.focal * self.W, 0, self.W / 2],
                            [0, opt.camera.focal * self.H, self.H / 2],
                            [0, 0, 1]], dtype=np.float32),
@@ -125,8 +134,11 @@ class Dataset(base.Dataset):
         pre_ray_idx = None
         if opt.data.get("preselect_NN") and self.split == "train":
             pre, masks_sampled = [], []
-            for j in neighbor_ids:
+            for k, j in enumerate(neighbor_ids):
                 _, m_map, _ = self._render_maps(j)
+                if nn_augs is not None:
+                    m_map = self.augment_mask2d(m_map[..., 0],
+                                                nn_augs[k])[..., None]
                 ridx = sample_ray_indices(
                     m_map[..., 0], opt.render.rand_sample,
                     opt.render.ray_uniform_fac, rng) \
@@ -138,10 +150,15 @@ class Dataset(base.Dataset):
                                        masks_sampled, rng)
             neighbor_ids = [neighbor_ids[s] for s in sel]
             pre_ray_idx = [pre[s] for s in sel]
+            if nn_augs is not None:
+                nn_augs = [nn_augs[s] for s in sel]
         nn_maps, nn_masks, nn_normals = [], [], []
         nn_rgb, nn_m, nn_n, nn_ridx, nn_pose = [], [], [], [], []
         for k, j in enumerate(neighbor_ids):
             r_map, m_map, n_map = self._render_maps(j)
+            if nn_augs is not None:
+                r_map, m_map, n_map = self.apply_augmentation(
+                    opt, r_map, m_map, n_map, nn_augs[k])
             nn_maps.append(r_map); nn_masks.append(m_map); nn_normals.append(n_map)
             r, m, n, ridx = self._sample_map(
                 r_map, m_map, n_map, rng,
@@ -151,7 +168,7 @@ class Dataset(base.Dataset):
                 nn_ridx.append(ridx)
             # reference quirk preserved: neighbor pose is the QUERY's pose
             # (reference `data/pix3d.py:192`)
-            nn_pose.append(self._pose(idx))
+            nn_pose.append(pose_q)
         sample.update(
             rgb_input_map_NN=np.stack(nn_maps), mask_input_map_NN=np.stack(nn_masks),
             normal_input_map_NN=np.stack(nn_normals),
