@@ -569,6 +569,22 @@ class Runner:
             util_vis.dump_images(o, var.idx, "normal_recon",
                                  var.normal_recon_map, from_range=(-1, 1),
                                  folder=folder)
+        # NN-view panels when the NN branch produced maps (reference
+        # `model/runner.py:484-491`)
+        if "input_NN_0" in var:
+            for v in range(o.reg.n_views):
+                sel = var[f"input_NN_{v}"]
+                util_vis.dump_images(
+                    o, var.idx, f"image_input_NN_{v}", sel.rgb_input_map,
+                    masks=sel.mask_input_map, from_range=(0, 1),
+                    poses=var.get(f"pose_NN_{v}"), folder=folder)
+        if "rgb_recon_map_NN_0" in var and "mask_recon_map_NN_0" in var:
+            for v in range(o.reg.n_views):
+                util_vis.dump_images(
+                    o, var.idx, f"image_recon_NN_{v}",
+                    var[f"rgb_recon_map_NN_{v}"],
+                    masks=var[f"mask_recon_map_NN_{v}"], from_range=(0, 1),
+                    poses=var.get(f"pose_NN_{v}"), folder=folder)
         if "mesh_pred" in var:
             util_vis.dump_meshes(o, var.idx, "mesh", var.mesh_pred,
                                  folder=folder)

@@ -155,6 +155,35 @@ def test_trainer_visualize_nn_panels(tmp_path):
     assert "train/mask_recon_map_NN_0" in runner.tb.tags
 
 
+def test_dump_results_nn_panels(tmp_path):
+    """dump_results writes NN-view input/recon PNGs when the var carries NN
+    maps (reference `model/runner.py:484-491`)."""
+    from shapeclipper_tpu.train.trainer import Runner
+    from tests.test_train_step import tiny_opt
+
+    opt = tiny_opt(tmp_path)
+    opt.reg.n_views = 1
+    runner = Runner(opt)
+    B, H, W = 2, 8, 8
+    pose = np.tile(np.concatenate([np.eye(3), [[0], [0], [5.0]]], 1),
+                   (B, 1, 1)).astype(np.float32)
+    var = edict(
+        idx=np.array([0, 1]),
+        rgb_input_map=np.random.rand(B, H, W, 3).astype(np.float32),
+        mask_input_map=np.ones((B, H, W, 1), np.float32),
+        input_NN_0=edict(
+            rgb_input_map=np.random.rand(B, H, W, 3).astype(np.float32),
+            mask_input_map=np.ones((B, H, W, 1), np.float32)),
+        pose_NN_0=pose,
+        rgb_recon_map_NN_0=np.random.rand(B, H, W, 3).astype(np.float32),
+        mask_recon_map_NN_0=np.ones((B, H, W, 1), np.float32),
+    )
+    runner.dump_results(opt, var, ep=1, train=True)
+    for name in ("image_input_NN_0", "image_recon_NN_0"):
+        assert os.path.exists(f"{opt.output_path}/vis_1/0_{name}.png"), name
+        assert os.path.exists(f"{opt.output_path}/vis_1/1_{name}.png"), name
+
+
 def test_vis_rotate_vis_nn_latent_selection(tmp_path):
     """vis_rotate(vis_NN=True) textures with the NN view's RGB latent
     (reference `model/runner.py:406,416`)."""
