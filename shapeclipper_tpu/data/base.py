@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 import numpy as np
 
@@ -162,7 +162,8 @@ class Dataset:
         return DataLoader(self, batch_size=batch_size, shuffle=shuffle,
                           drop_last=drop_last,
                           num_workers=opt.data.get("num_workers", 4) or 0,
-                          shard_id=shard_id, num_shards=num_shards, seed=seed)
+                          shard_id=shard_id, num_shards=num_shards, seed=seed,
+                          worker_type=opt.data.get("worker_type") or "thread")
 
 
 def select_nn_views(opt, query_mask_sampled, nn_masks_sampled, rng):
@@ -188,13 +189,32 @@ def select_nn_views(opt, query_mask_sampled, nn_masks_sampled, rng):
     return rng.choice(len(ious), size=opt.reg.n_views, replace=False, p=probs)
 
 
+_FORK_DATASET = None
+
+
+def _fork_init(ds):
+    global _FORK_DATASET
+    _FORK_DATASET = ds
+
+
+def _fork_get(i):
+    return _FORK_DATASET[int(i)]
+
+
 class DataLoader:
-    """Epoch-based loader: shuffles indices, loads samples with a thread pool,
-    prefetches collated batches on a background thread."""
+    """Epoch-based loader: shuffles indices, loads samples with a worker pool,
+    prefetches collated batches on a background thread.
+
+    `worker_type='thread'` (default) uses a GIL-sharing thread pool;
+    `'process'` forks a ProcessPoolExecutor (the reference used 12 worker
+    processes, `data/base.py:16-30` + `options/pix3d/config.yaml`) — the
+    right choice when per-sample work is numpy/decode-bound and cores are
+    plentiful. Chosen via `opt.data.worker_type`; measured by
+    `scripts/bench_loader.py`."""
 
     def __init__(self, dataset, batch_size, shuffle=False, drop_last=True,
                  num_workers=4, shard_id=0, num_shards=1, seed=0,
-                 prefetch=2):
+                 prefetch=2, worker_type="thread"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -205,6 +225,7 @@ class DataLoader:
         self.seed = seed
         self.epoch = 0
         self.prefetch = prefetch
+        self.worker_type = worker_type
 
     def set_epoch(self, epoch):
         self.epoch = epoch
@@ -238,13 +259,22 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def make_pool():
+            if self.worker_type == "process":
+                import multiprocessing as mp
+                return ProcessPoolExecutor(
+                    self.num_workers, mp_context=mp.get_context("fork"),
+                    initializer=_fork_init, initargs=(self.dataset,))
+            return ThreadPoolExecutor(self.num_workers)
+
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            get = (_fork_get if self.worker_type == "process"
+                   else self.dataset.__getitem__)
+            with make_pool() as pool:
                 for b in batches:
                     if stop.is_set():
                         return
-                    samples = list(pool.map(self.dataset.__getitem__,
-                                            [int(i) for i in b]))
+                    samples = list(pool.map(get, [int(i) for i in b]))
                     q.put(default_collate(samples))
             q.put(None)
 
@@ -258,3 +288,11 @@ class DataLoader:
                 yield batch
         finally:
             stop.set()
+            # Unblock a producer stuck in q.put so it reaches the stop check
+            # and shuts its pool down — abandoning an iterator mid-epoch must
+            # not leak worker threads/processes.
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

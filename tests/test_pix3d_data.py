@@ -92,6 +92,9 @@ def _opt(pix3d_root):
     opt.data.root = pix3d_root
     opt.data.num_workers = 0
     opt.data.k_nearest = 3
+    # exercise the full-K NN stack path; preselect-on (the measured flagship
+    # default) is covered by test_preselect_nn_views
+    opt.data.preselect_NN = False
     opt.render.rand_sample = 64
     return opt
 
@@ -205,6 +208,50 @@ def test_preselect_nn_views(pix3d_root):
     loss = summarize_loss(opt, loss)
     assert bool(loss.finite)
     assert "nearest_img" in loss
+
+
+def _loader_batches(opt, pix3d_root, **data_over):
+    o = opt.deepcopy()
+    o.data.update(**data_over)
+    ds = pix3d.Dataset(o, split="train")
+    loader = ds.setup_loader(o, shuffle=True)
+    return list(loader)
+
+
+def test_worker_pools_match_serial(pix3d_root):
+    """Thread- and process-pool loading must produce byte-identical batches
+    to serial loading (per-sample RNG is index-seeded, so worker scheduling
+    cannot change the data)."""
+    opt = _opt(pix3d_root)
+    serial = _loader_batches(opt, pix3d_root, num_workers=0)
+    assert len(serial) == N_SAMPLES // opt.batch_size
+    for wtype in ("thread", "process"):
+        pooled = _loader_batches(opt, pix3d_root, num_workers=2,
+                                 worker_type=wtype)
+        assert len(pooled) == len(serial)
+        for a, b in zip(serial, pooled):
+            assert sorted(a) == sorted(b)
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=f"{wtype}:{k}")
+
+
+def test_abandoned_iterator_shuts_pool_down(pix3d_root):
+    """Dropping a loader iterator mid-epoch must unblock the producer so its
+    worker pool shuts down (no leaked processes/threads)."""
+    import threading
+    import time
+    opt = _opt(pix3d_root)
+    opt.data.update(num_workers=2, worker_type="thread")
+    ds = pix3d.Dataset(opt, split="train")
+    loader = ds.setup_loader(opt, shuffle=False)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # triggers the generator's finally: stop + drain
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
 
 
 def test_preselect_distribution_prefers_low_iou(pix3d_root):
