@@ -9,6 +9,9 @@ Usage: python scripts/bench_chamfer.py VARIANT [N] [B]
     prod_xla      - chamfer_distance_sq (dist+argmin), XLA scan — the
                     round-3 production eval path, the baseline to beat
     prod_pallas   - chamfer_distance_sq, Pallas dist+argmin kernel
+  append `_nodot` to an XLA variant to form the cross-distance tile from
+  explicit per-coordinate squared differences (SCL_CHAMFER_CROSS=nodot)
+  instead of an MXU dot
 
 Each invocation is a fresh process so a Mosaic compile pathology can be
 bounded with `timeout` from the driver loop; the result is ONE JSON line on
@@ -30,9 +33,15 @@ def main():
     N = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
     B = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 
-    impl = "pallas" if variant.endswith("pallas") else "xla"
+    variant_base = variant
+    for cross in ("nodot", "dot"):
+        if variant.endswith("_" + cross):
+            os.environ["SCL_CHAMFER_CROSS"] = cross
+            variant_base = variant[:-len("_" + cross)]
+            break
+    impl = "pallas" if variant_base.endswith("pallas") else "xla"
     os.environ["SCL_CHAMFER_IMPL"] = impl
-    if variant == "dists_xla_bidir":
+    if variant_base == "dists_xla_bidir":
         os.environ["SCL_CHAMFER_DISTS"] = "bidir"
 
     import jax
@@ -42,7 +51,7 @@ def main():
     a = jax.random.uniform(jax.random.PRNGKey(3), (B, N, 3))
     b = jax.random.uniform(jax.random.PRNGKey(4), (B, N, 3))
 
-    if variant.startswith("dists"):
+    if variant_base.startswith("dists"):
         fn = lambda: chamfer.chamfer_dists_sq(a, b)        # noqa: E731
     else:
         fn = lambda: chamfer.chamfer_distance_sq(a, b)[:2]  # noqa: E731
@@ -62,7 +71,8 @@ def main():
     run_s = (time.perf_counter() - t0) / iters
 
     rec = dict(variant=variant, impl=impl, B=B, N=N,
-               dists=os.environ.get("SCL_CHAMFER_DISTS", "twopass"),
+               dists=os.environ.get("SCL_CHAMFER_DISTS", "bidir"),
+               cross=os.environ.get("SCL_CHAMFER_CROSS", "nodot"),
                tile1=int(os.environ.get("SCL_CHAMFER_TILE1", 4096)),
                tile2=int(os.environ.get("SCL_CHAMFER_TILE2", 16384)),
                compile_s=round(compile_s, 1),

@@ -176,8 +176,11 @@ def _nn_dists_xla_bidir(x1, x2, tile1=None, tile2=None):
     distance-assembly work of two independent sweeps and skipping the argmin
     entirely. x1 [N1,3], x2 [N2,3] -> (dist1 [N1], dist2 [N2])."""
     import os
-    tile1 = tile1 or int(os.environ.get("SCL_CHAMFER_TILE1", 4096))
+    # tile1=2048 by tile sweep: 295.7 vs 310.0 (4096) vs 325.1 (8192/32768)
+    # ms/sample at [4, 100k] nodot (output/chamfer_timing_r4.jsonl)
+    tile1 = tile1 or int(os.environ.get("SCL_CHAMFER_TILE1", 2048))
     tile2 = tile2 or int(os.environ.get("SCL_CHAMFER_TILE2", 16384))
+    nodot = os.environ.get("SCL_CHAMFER_CROSS", "nodot") == "nodot"
     n1, n2 = x1.shape[0], x2.shape[0]
     n1p, n2p = _round_up(n1, tile1), _round_up(n2, tile2)
     # padded rows sit at 1e15 on both sides: never the minimum for real rows
@@ -193,12 +196,17 @@ def _nn_dists_xla_bidir(x1, x2, tile1=None, tile2=None):
 
         def inner(best1, xs):
             bt, b2 = xs                                # [tile2,3], [tile2]
-            b_sq = jnp.sum(bt * bt, axis=-1)
-            cross = jax.lax.dot_general(
-                a, bt, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-            d = (b_sq[None, :] - 2.0 * cross) + a_sq[:, None]
+            if nodot:
+                d = ((a[:, None, 0] - bt[None, :, 0]) ** 2
+                     + (a[:, None, 1] - bt[None, :, 1]) ** 2
+                     + (a[:, None, 2] - bt[None, :, 2]) ** 2)
+            else:
+                b_sq = jnp.sum(bt * bt, axis=-1)
+                cross = jax.lax.dot_general(
+                    a, bt, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                d = (b_sq[None, :] - 2.0 * cross) + a_sq[:, None]
             best1 = jnp.minimum(best1, jnp.min(d, axis=1))
             return best1, jnp.minimum(b2, jnp.min(d, axis=0))
 
@@ -214,10 +222,18 @@ def _nn_dists_xla_bidir(x1, x2, tile1=None, tile2=None):
 
 def _nn_dists_xla_onedir(x1, x2, tile1=None, tile2=None):
     """Distance-only single-direction tiled NN (the `_nn_one_direction_xla`
-    sweep without the argmin bookkeeping). x1 [N1,3], x2 [N2,3] -> [N1]."""
+    sweep without the argmin bookkeeping). x1 [N1,3], x2 [N2,3] -> [N1].
+
+    SCL_CHAMFER_CROSS picks how the [tile1, tile2] cross-distance tile is
+    formed: 'dot' (|b|^2 - 2 a@b^T on the MXU — but the K=3 dot's huge
+    output is materialized to HBM before the min, making the sweep
+    HBM-bound) or 'nodot' (explicit per-coordinate (a_k - b_k)^2 sums —
+    pure VPU work that XLA fuses with the min into ONE streaming reduction,
+    no HBM tile traffic)."""
     import os
     tile1 = tile1 or int(os.environ.get("SCL_CHAMFER_TILE1", 4096))
     tile2 = tile2 or int(os.environ.get("SCL_CHAMFER_TILE2", 16384))
+    nodot = os.environ.get("SCL_CHAMFER_CROSS", "nodot") == "nodot"
     n1, n2 = x1.shape[0], x2.shape[0]
     n1p, n2p = _round_up(n1, tile1), _round_up(n2, tile2)
     x1p = jnp.zeros((n1p, 3), x1.dtype).at[:n1].set(x1)
@@ -230,6 +246,12 @@ def _nn_dists_xla_onedir(x1, x2, tile1=None, tile2=None):
         a_sq = jnp.sum(a * a, axis=-1)
 
         def inner(best, bt):                           # bt: [tile2, 3]
+            if nodot:
+                d = jnp.min(
+                    (a[:, None, 0] - bt[None, :, 0]) ** 2
+                    + (a[:, None, 1] - bt[None, :, 1]) ** 2
+                    + (a[:, None, 2] - bt[None, :, 2]) ** 2, axis=1)
+                return jnp.minimum(best, d), None
             b_sq = jnp.sum(bt * bt, axis=-1)
             cross = jax.lax.dot_general(
                 a, bt, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -240,6 +262,8 @@ def _nn_dists_xla_onedir(x1, x2, tile1=None, tile2=None):
 
         init = jnp.full((a.shape[0],), BIG, jnp.float32)
         best, _ = jax.lax.scan(inner, init, x2t)
+        if nodot:
+            return None, best                          # already exact |a-b|^2
         return None, jnp.maximum(best + a_sq, 0.0)
 
     _, dist = jax.lax.scan(outer, None, x1t)
@@ -252,16 +276,22 @@ def chamfer_dists_sq(x1, x2):
     x1: [B, N1, 3], x2: [B, N2, 3] -> (dist1 [B, N1], dist2 [B, N2]).
     The metric path (`eval3d/metrics.py`) uses this: it never reads the
     indices and never differentiates, so the index bookkeeping of
-    `chamfer_distance_sq` is pure waste there. SCL_CHAMFER_DISTS picks the
-    XLA formulation: 'twopass' (default; one min-reduce along the fast axis
-    per direction) or 'bidir' (each cross-distance tile reduced along both
-    axes in one sweep — measured SLOWER on v5e: the axis-0 min costs more
-    than the saved matmuls)."""
+    `chamfer_distance_sq` is pure waste there.
+
+    Defaults are set by round-4 v5e measurement at [4, 100k] (solo chip,
+    ms/sample, output/chamfer_timing_r4.jsonl):
+      bidir+nodot 310 | twopass+nodot 458 | prod dist+argmin nodot 809 |
+      prod dot 975 | bidir+dot 1960 | twopass+dot 3834.
+    'nodot' wins because XLA fuses the per-coordinate squared differences
+    WITH the min into one streaming VPU reduction, while a K=3 MXU dot
+    materializes every [tile1, tile2] f32 tile to HBM first; 'bidir' then
+    halves the distance evaluations by min-reducing each tile along both
+    axes. SCL_CHAMFER_DISTS / SCL_CHAMFER_CROSS override."""
     import os
     if _impl() == "pallas":
         f = partial(_nn_dist_one_direction, interpret=_use_interpret())
         return jax.vmap(f)(x1, x2), jax.vmap(f)(x2, x1)
-    if os.environ.get("SCL_CHAMFER_DISTS", "twopass") == "bidir":
+    if os.environ.get("SCL_CHAMFER_DISTS", "bidir") == "bidir":
         return jax.vmap(_nn_dists_xla_bidir)(x1, x2)
     f = _nn_dists_xla_onedir
     return jax.vmap(f)(x1, x2), jax.vmap(f)(x2, x1)
@@ -280,9 +310,18 @@ def _impl():
     return os.environ.get("SCL_CHAMFER_IMPL", "xla")
 
 
-def _nn_one_direction_xla(x1, x2, tile1=4096, tile2=16384):
+def _nn_one_direction_xla(x1, x2, tile1=None, tile2=None):
     """Pure-XLA tiled NN: scan over x1 tiles; inner scan over x2 tiles keeps
-    a running (min, argmin). Peak live tile is [tile1, tile2] fp32."""
+    a running (min, argmin). Peak live tile is [tile1, tile2] fp32.
+
+    SCL_CHAMFER_CROSS='nodot' swaps the MXU dot for explicit per-coordinate
+    squared differences (see `_nn_dists_xla_onedir`): exact distances with
+    no cancellation, and the whole tile fuses with the min/argmin into one
+    streaming VPU reduction instead of an HBM-materialized dot output."""
+    import os
+    tile1 = tile1 or int(os.environ.get("SCL_CHAMFER_TILE1", 4096))
+    tile2 = tile2 or int(os.environ.get("SCL_CHAMFER_TILE2", 16384))
+    nodot = os.environ.get("SCL_CHAMFER_CROSS", "nodot") == "nodot"
     n1, n2 = x1.shape[0], x2.shape[0]
     n1p, n2p = _round_up(n1, tile1), _round_up(n2, tile2)
     x1p = jnp.zeros((n1p, 3), x1.dtype).at[:n1].set(x1)
@@ -296,14 +335,19 @@ def _nn_one_direction_xla(x1, x2, tile1=4096, tile2=16384):
 
         def inner(carry, bt):                          # bt: [tile2, 3]
             best_d, best_i, offset = carry
-            b_sq = jnp.sum(bt * bt, axis=-1)
-            # HIGHEST: fp32 matmul passes — bf16 default precision is enough
-            # to corrupt the argmin for near-ties
-            cross = jax.lax.dot_general(
-                a, bt, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-            d = b_sq[None, :] - 2.0 * cross            # [tile1, tile2]
+            if nodot:
+                d = ((a[:, None, 0] - bt[None, :, 0]) ** 2
+                     + (a[:, None, 1] - bt[None, :, 1]) ** 2
+                     + (a[:, None, 2] - bt[None, :, 2]) ** 2)
+            else:
+                b_sq = jnp.sum(bt * bt, axis=-1)
+                # HIGHEST: fp32 matmul passes — bf16 default precision is
+                # enough to corrupt the argmin for near-ties
+                cross = jax.lax.dot_general(
+                    a, bt, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                d = b_sq[None, :] - 2.0 * cross        # [tile1, tile2]
             local_min = jnp.min(d, axis=1)
             local_arg = jnp.argmin(d, axis=1).astype(jnp.int32) + offset
             take = local_min < best_d
@@ -315,7 +359,8 @@ def _nn_one_direction_xla(x1, x2, tile1=4096, tile2=16384):
                 jnp.zeros((a.shape[0],), jnp.int32),
                 jnp.int32(0))
         (best_d, best_i, _), _ = jax.lax.scan(inner, init, x2t)
-        return None, (jnp.maximum(best_d + a_sq, 0.0), best_i)
+        dist = best_d if nodot else jnp.maximum(best_d + a_sq, 0.0)
+        return None, (dist, best_i)
 
     _, (dist, idx) = jax.lax.scan(outer, None, x1t)
     return dist.reshape(-1)[:n1], idx.reshape(-1)[:n1]

@@ -61,6 +61,26 @@ def test_chamfer_dists_only_matches_reference(impl, monkeypatch):
                                atol=1e-5)
 
 
+@pytest.mark.parametrize("dists_mode", ["twopass", "bidir"])
+def test_chamfer_nodot_cross_matches_reference(dists_mode, monkeypatch):
+    """SCL_CHAMFER_CROSS=nodot (fused per-coordinate squared differences —
+    no MXU dot) must match the O(N^2) reference for both the dist+argmin and
+    dist-only paths (both XLA formulations), across tile boundaries."""
+    monkeypatch.setenv("SCL_CHAMFER_CROSS", "nodot")
+    monkeypatch.setenv("SCL_CHAMFER_DISTS", dists_mode)
+    x1, x2 = _rand_clouds(key=9, B=2, N1=600, N2=2100)
+    ref = chamfer_distance_sq_reference(x1, x2)
+    got = chamfer_distance_sq(x1, x2)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-4,
+                                   atol=1e-5)
+    d1, d2 = chamfer_dists_sq(x1, x2)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(ref[0]), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(ref[1]), rtol=1e-4,
+                               atol=1e-5)
+
+
 def test_chamfer_dists_only_asymmetric_batch():
     x1, x2 = _rand_clouds(key=8, B=3, N1=57, N2=201)
     d1, d2 = chamfer_dists_sq(x1, x2)
