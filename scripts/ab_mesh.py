@@ -81,9 +81,13 @@ def main():
 
     import jax
 
+    # Pin BEFORE any backend query — the axon plugin ignores JAX_PLATFORMS
+    # and jax.default_backend() would initialize (and lock) the TPU backend.
+    jax.config.update("jax_platforms", "cpu")
+
     import __graft_entry__ as ge
 
-    assert jax.default_backend() == "cpu", "run with SCL_PLATFORM=cpu"
+    assert jax.default_backend() == "cpu", "platform pin failed"
 
     # Pre-build a few deterministic batches shared verbatim by both arms.
     opt = ge._tiny_opt(n_devices=N_DEV, image=32, rays=16, samples=8)
