@@ -460,8 +460,9 @@ class Runner:
             n_seen += n_valid
             cd_acc = np.asarray(var.cd_acc)[:n_valid]
             cd_comp = np.asarray(var.cd_comp)[:n_valid]
+            cats = np.asarray(var.category_label)  # one fetch, not per-row
             for i in range(n_valid):
-                cat_idx = int(np.asarray(var.category_label)[i])
+                cat_idx = int(cats[i])
                 counts_cat[cat_idx] += 1
                 acc_cat[cat_idx] += float(cd_acc[i])
                 comp_cat[cat_idx] += float(cd_comp[i])
