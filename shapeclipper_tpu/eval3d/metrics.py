@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.chamfer import chamfer_dists_sq
-from . import isosurface
+from . import device_isosurface, isosurface
 
 # view-centric frame axis flips for Pix3D (reference `utils/eval_3D.py:78-90`)
 R_TRANS_PRED_PIX3D = np.diag([1.0, -1.0, -1.0]).astype(np.float32)
@@ -161,6 +161,44 @@ def _rotate_and_normalize_pix3d(dpc_pred, dpc_gt, pose, pose_gt):
 # (measured 52 ms on this tunnel), so the split rotate -> chamfer ->
 # fscore -> mean chain was pure latency.
 _FINISH_CACHE = {}
+_FINISH_FULL_CACHE = {}
+
+
+def _use_device_isosurface(opt):
+    """Device-side marching tetrahedra + surface sampling (default ON;
+    opt.tpu.device_isosurface=false or SCL_DEVICE_ISOSURFACE=0 restores the
+    host PyMCubes-style path). See eval3d/device_isosurface.py."""
+    import os
+    env = os.environ.get("SCL_DEVICE_ISOSURFACE")
+    if env is not None:
+        return env != "0"
+    return bool(opt.get("tpu", {}).get("device_isosurface", True))
+
+
+def _finish_full_device_fn(thresholds, n_points, range_min, range_max):
+    """The fully fused finish: level grid -> marching tets -> area-weighted
+    sampling -> rotate/normalize -> Chamfer -> F-score, ONE device program,
+    the level grid never fetched to host."""
+    key = (tuple(float(t) for t in thresholds), int(n_points),
+           float(range_min), float(range_max))
+    fn = _FINISH_FULL_CACHE.get(key)
+    if fn is None:
+        thr = key[0]
+
+        @jax.jit
+        def fn(level, dpc_gt, pose, pose_gt, rng_key):
+            dpc_pred = device_isosurface.sample_level_surface_batch(
+                level, n_points, range_min, range_max, rng_key)
+            pred, gt = _rotate_and_normalize_pix3d(dpc_pred, dpc_gt,
+                                                   pose, pose_gt)
+            d1_sq, d2_sq = chamfer_dists_sq(pred, gt)
+            dist_acc, dist_comp = jnp.sqrt(d1_sq), jnp.sqrt(d2_sq)
+            f_score = compute_fscore(dist_acc, dist_comp, thr)
+            return (dpc_pred, pred, gt, f_score,
+                    dist_acc.mean(axis=1), dist_comp.mean(axis=1),
+                    dist_acc.mean(), dist_comp.mean())
+        _FINISH_FULL_CACHE[key] = fn
+    return fn
 
 
 def _finish_device_fn(thresholds):
@@ -189,17 +227,42 @@ def eval_metrics_submit(opt, var, sdf_apply, params_sdf):
     return compute_level_grid(opt, sdf_apply, params_sdf, var.proj_latent_sdf)
 
 
-def eval_metrics(opt, var, sdf_apply, params_sdf, vis_only=False, rng=None):
+def eval_metrics(opt, var, sdf_apply, params_sdf, vis_only=False, rng=None,
+                 seed=0, need_meshes=True):
     """Full metric evaluation for one batch (reference
     `utils/eval_3D.py:52-103`). Mutates `var` with mesh_pred/dpc_pred/
     f_score/cd_acc/cd_comp; returns (dist_acc_mean, dist_comp_mean)."""
     level = eval_metrics_submit(opt, var, sdf_apply, params_sdf)
-    return eval_metrics_finish(opt, var, level, vis_only=vis_only, rng=rng)
+    return eval_metrics_finish(opt, var, level, vis_only=vis_only, rng=rng,
+                               seed=seed, need_meshes=need_meshes)
 
 
-def eval_metrics_finish(opt, var, level, vis_only=False, rng=None):
-    """Stage B/C: host isosurface + surface sampling, then device
-    rotate/normalize + Chamfer + F-score."""
+def eval_metrics_finish(opt, var, level, vis_only=False, rng=None, seed=0,
+                        need_meshes=True):
+    """Stage B/C. Default (tpu.device_isosurface): marching tets + surface
+    sampling + rotate/normalize + Chamfer + F-score all in ONE device
+    program keyed by `seed` — host meshes extracted only when the caller
+    dumps them (`need_meshes`). Fallback/vis path: host isosurface then the
+    fused device metric finish."""
+    if _use_device_isosurface(opt) and not vis_only:
+        range_min, range_max = opt.eval.range
+        fn = _finish_full_device_fn(opt.eval.f_thresholds,
+                                    opt.eval.num_points,
+                                    range_min, range_max)
+        (dpc_pred, pred, gt, f_score, cd_acc, cd_comp, acc_m,
+         comp_m) = fn(level, var.dpc_points, var.pose, var.pose_gt,
+                      jax.random.PRNGKey(seed))
+        var.dpc_pred = dpc_pred
+        var.dpc_pred_normalized = pred
+        var.dpc_gt_normalized = gt
+        var.f_score, var.cd_acc, var.cd_comp, acc_m, comp_m = jax.device_get(
+            (f_score, cd_acc, cd_comp, acc_m, comp_m))
+        if need_meshes:  # only PLY dumps read meshes — skip the host MT
+            var.mesh_pred = [
+                isosurface.marching_cubes_world(lv, range_min, range_max)
+                for lv in np.asarray(jax.device_get(level))]
+        return float(acc_m), float(comp_m)
+
     meshes, clouds = extract_meshes_and_pointclouds(
         opt, jax.device_get(level), rng=rng)
     var.mesh_pred = meshes

@@ -370,7 +370,8 @@ class Runner:
                 dist_acc, dist_cov = eval_3D.eval_metrics(
                     opt, mvar, self.graph.sdf_network.apply,
                     self.params["sdf_network"],
-                    rng=np.random.RandomState(step))
+                    rng=np.random.RandomState(step), seed=step,
+                    need_meshes=False)
                 self.tb.add_scalar(f"{split}/dist_acc", dist_acc, step)
                 self.tb.add_scalar(f"{split}/dist_cov", dist_cov, step)
             except Exception as e:  # metric eval must never kill training
@@ -455,7 +456,8 @@ class Runner:
         def finish(it, n_valid, var, level):
             nonlocal n_seen
             eval_3D.eval_metrics_finish(opt_e, var, level,
-                                        rng=np.random.RandomState(it))
+                                        rng=np.random.RandomState(it),
+                                        seed=it, need_meshes=not training)
             f_scores.append(np.asarray(var.f_score)[:n_valid])
             n_seen += n_valid
             cd_acc = np.asarray(var.cd_acc)[:n_valid]
