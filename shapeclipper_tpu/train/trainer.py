@@ -149,6 +149,17 @@ class Runner:
         self._eval_forward = jax.jit(
             lambda p, s, v: self.graph_eval.forward(
                 p, s, v, rng=None, training=False, get_loss=False)[0])
+
+        # metric-eval loop: forward + dense SDF grid scan in ONE program —
+        # through a remote-attach transport each dispatch costs a full RTT
+        def _fwd_and_grid(p, s, v):
+            var = self.graph_eval.forward(p, s, v, rng=None, training=False,
+                                          get_loss=False)[0]
+            level = eval_3D.compute_level_grid(
+                self.graph_eval.opt, self.graph.sdf_network.apply,
+                p["sdf_network"], var.proj_latent_sdf)
+            return var, level
+        self._eval_forward_and_grid = jax.jit(_fwd_and_grid)
         # viz batches run with visualize=True (reference `runner.py:352`):
         # the renderer returns 200-ray point/transparency/rgb sample extras
         self._eval_forward_vis = jax.jit(
@@ -453,7 +464,7 @@ class Runner:
         counts_cat = [0.001] * opt.data.num_classes
         n_seen = 0
 
-        def finish(it, n_valid, var, level):
+        def finish(it, n_valid, var, level, cats):
             nonlocal n_seen
             eval_3D.eval_metrics_finish(opt_e, var, level,
                                         rng=np.random.RandomState(it),
@@ -462,7 +473,6 @@ class Runner:
             n_seen += n_valid
             cd_acc = np.asarray(var.cd_acc)[:n_valid]
             cd_comp = np.asarray(var.cd_comp)[:n_valid]
-            cats = np.asarray(var.category_label)  # one fetch, not per-row
             for i in range(n_valid):
                 cat_idx = int(cats[i])
                 counts_cat[cat_idx] += 1
@@ -500,17 +510,18 @@ class Runner:
                     lambda v: np.concatenate(
                         [v, np.repeat(v[-1:], B_c - n_valid, axis=0)]),
                     batch)
+            # host copy of the labels: fetching var.category_label back off
+            # the device costs a full tunnel RTT per batch
+            cats = np.asarray(batch["category_label"])
             var = parallel.shard_batch(self.mesh, _batch_to_var(batch))
-            var = self._eval_forward(self.params, self.batch_stats, var)
-            level = eval_3D.eval_metrics_submit(
-                opt_e, var, self.graph.sdf_network.apply,
-                self.params["sdf_network"])
+            var, level = self._eval_forward_and_grid(
+                self.params, self.batch_stats, var)
             if pending is not None:
                 finish(*pending)
             if pipelined:
-                pending = (it, n_valid, var, level)
+                pending = (it, n_valid, var, level, cats)
             else:  # serial mode (tpu.eval_pipeline=false; for A/B timing)
-                finish(it, n_valid, var, level)
+                finish(it, n_valid, var, level, cats)
         if pending is not None:
             finish(*pending)
 
