@@ -255,12 +255,18 @@ class Graph:
 
     # --------------------------------------------------------------- forward
     def forward(self, params, stats, var, rng, training=False, get_loss=True,
-                bn_eval=False, visualize=False):
+                bn_eval=False, visualize=False, render=True):
         """Full forward. `var` is an EasyDict batch; returns (var, loss,
         new_stats) with reconstruction fields added.
 
+        `render=False` skips the volume render entirely (metric-only eval:
+        the 3D metrics consume just the SDF latent + predicted pose, but the
+        reference renders full eval-resolution maps anyway,
+        `model/runner.py:398-404` — pure waste on the metric path).
+
         Reference `model/graph.py:68-112`.
         """
+        assert render or not get_loss, "losses require rendered maps"
         opt = self.opt
         var = edict(var)
         rng_render, rng_nn, rng_nn_render = (
@@ -340,6 +346,9 @@ class Graph:
                     and bool(opt.render.rand_sample)
                     and ray_idx is not None and "ray_idx_NN" in var
                     and opt.get("tpu", {}).get("merge_nn_render", True))
+
+        if not render:
+            return var, None, new_stats
 
         if merge_nn:
             new_stats = self._forward_merged(

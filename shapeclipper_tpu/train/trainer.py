@@ -151,15 +151,22 @@ class Runner:
                 p, s, v, rng=None, training=False, get_loss=False)[0])
 
         # metric-eval loop: forward + dense SDF grid scan in ONE program —
-        # through a remote-attach transport each dispatch costs a full RTT
-        def _fwd_and_grid(p, s, v):
-            var = self.graph_eval.forward(p, s, v, rng=None, training=False,
-                                          get_loss=False)[0]
-            level = eval_3D.compute_level_grid(
-                self.graph_eval.opt, self.graph.sdf_network.apply,
-                p["sdf_network"], var.proj_latent_sdf)
-            return var, level
-        self._eval_forward_and_grid = jax.jit(_fwd_and_grid)
+        # through a remote-attach transport each dispatch costs a full RTT.
+        # render=False drops the eval-resolution volume render when nothing
+        # reads the maps (periodic metric evals; dumps use the render=True
+        # variant)
+        def _make_fwd_and_grid(render):
+            def _fwd_and_grid(p, s, v):
+                var = self.graph_eval.forward(p, s, v, rng=None,
+                                              training=False, get_loss=False,
+                                              render=render)[0]
+                level = eval_3D.compute_level_grid(
+                    self.graph_eval.opt, self.graph.sdf_network.apply,
+                    p["sdf_network"], var.proj_latent_sdf)
+                return var, level
+            return jax.jit(_fwd_and_grid)
+        self._eval_forward_and_grid = _make_fwd_and_grid(render=True)
+        self._eval_forward_and_grid_metrics = _make_fwd_and_grid(render=False)
         # viz batches run with visualize=True (reference `runner.py:352`):
         # the renderer returns 200-ray point/transparency/rgb sample extras
         self._eval_forward_vis = jax.jit(
@@ -514,8 +521,11 @@ class Runner:
             # the device costs a full tunnel RTT per batch
             cats = np.asarray(batch["category_label"])
             var = parallel.shard_batch(self.mesh, _batch_to_var(batch))
-            var, level = self._eval_forward_and_grid(
-                self.params, self.batch_stats, var)
+            # periodic metric evals read only latents + pose; full eval
+            # (training=False) renders for dump_results
+            fwd = (self._eval_forward_and_grid if not training
+                   else self._eval_forward_and_grid_metrics)
+            var, level = fwd(self.params, self.batch_stats, var)
             if pending is not None:
                 finish(*pending)
             if pipelined:
