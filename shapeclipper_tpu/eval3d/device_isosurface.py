@@ -187,14 +187,21 @@ def sample_level_surface(level, n_points, range_min, range_max, key,
 
 
 def sample_level_surface_batch(level, n_points, range_min, range_max, key,
-                               isovalue=0.0):
-    """Batched sampling: level [B, M, M, M] -> [B, n_points, 3]. Sequential
-    lax.map over the batch (not vmap): each sample's area pass is a ~T-lane
-    reduction that already saturates the chip, and mapping keeps peak HBM at
-    one sample's transients instead of B of them."""
+                               isovalue=0.0, mode=None):
+    """Batched sampling: level [B, M, M, M] -> [B, n_points, 3].
+
+    mode='map' (single-device default): sequential lax.map over the batch —
+    each sample's area pass is a ~T-lane reduction that already saturates
+    the chip, and mapping keeps peak HBM at one sample's transients instead
+    of B of them. mode='vmap' (multi-device default): batched, preserving a
+    batch sharding over the mesh (lax.map would serialize and gather)."""
+    if mode is None:
+        mode = "vmap" if jax.device_count() > 1 else "map"
     keys = jax.random.split(key, level.shape[0])
     f = partial(sample_level_surface, n_points=n_points,
                 range_min=range_min, range_max=range_max, isovalue=isovalue)
+    if mode == "vmap":
+        return jax.vmap(lambda lv, k: f(lv, key=k))(level, keys)
     return jax.lax.map(lambda xs: f(xs[0], key=xs[1]), (level, keys))
 
 
