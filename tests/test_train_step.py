@@ -80,6 +80,27 @@ def test_evaluate_end_to_end(trained_runner):
     assert np.isfinite(val) and val > 0
 
 
+def test_metric_forward_render_skip_matches(trained_runner):
+    """render=False: no recon fields, and the pose/latents the metric path
+    consumes are identical to the rendering forward's."""
+    opt, runner = trained_runner
+    from shapeclipper_tpu import parallel
+    from shapeclipper_tpu.train.trainer import _batch_to_var
+    batch = next(iter(runner.test_loader))
+    var = parallel.shard_batch(runner.mesh, _batch_to_var(batch))
+    full = runner.graph_eval.forward(runner.params, runner.batch_stats, var,
+                                     rng=None, training=False,
+                                     get_loss=False)[0]
+    lean = runner.graph_eval.forward(runner.params, runner.batch_stats, var,
+                                     rng=None, training=False,
+                                     get_loss=False, render=False)[0]
+    assert "rgb_recon" not in lean and "mask_recon" not in lean
+    np.testing.assert_array_equal(np.asarray(full.pose),
+                                  np.asarray(lean.pose))
+    np.testing.assert_array_equal(np.asarray(full.proj_latent_sdf),
+                                  np.asarray(lean.proj_latent_sdf))
+
+
 def test_eval_reports_written(trained_runner, tmp_path):
     opt, runner = trained_runner
     runner.evaluate(opt, ep=1, training=False)
