@@ -54,18 +54,24 @@ def main():
     runner.viz_data = []
 
     results = {}
-    for pipelined in (True, False):   # pipelined first warms the compiles
+    # (device_isosurface, eval_pipeline); device+pipelined is the default
+    for dev_iso, pipelined in ((True, True), (True, False), (False, True)):
+        opt.tpu.device_isosurface = dev_iso
         opt.tpu.eval_pipeline = pipelined
+        # the finish path reads the eval graph's opt copy
+        runner.graph_eval.opt.tpu.device_isosurface = dev_iso
         runner.evaluate(opt, ep=0, training=True)    # warmup/compile
         t0 = time.perf_counter()
         val = runner.evaluate(opt, ep=0, training=True)
         dt = time.perf_counter() - t0
-        results[pipelined] = dt
-        print(f"eval_pipeline={pipelined}: {dt:.2f}s for {n_samples} samples "
+        results[(dev_iso, pipelined)] = dt
+        print(f"device_isosurface={dev_iso} eval_pipeline={pipelined}: "
+              f"{dt:.2f}s for {n_samples} samples "
               f"= {n_samples / dt:.3f} samples/s (val {val:.4f})")
-    speedup = results[False] / results[True]
-    print(f"--> pipelined/serial speedup: {speedup:.2f}x "
-          f"(vox {vox_res}, 100k pts)")
+    speedup = results[(True, False)] / results[(True, True)]
+    host_vs_dev = results[(False, True)] / results[(True, True)]
+    print(f"--> pipelined/serial {speedup:.2f}x, device/host isosurface "
+          f"{host_vs_dev:.2f}x (vox {vox_res}, 100k pts)")
 
 
 if __name__ == "__main__":
