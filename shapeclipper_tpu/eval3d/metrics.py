@@ -164,7 +164,7 @@ _FINISH_CACHE = {}
 _FINISH_FULL_CACHE = {}
 
 
-def _use_device_isosurface(opt):
+def use_device_isosurface(opt):
     """Device-side marching tetrahedra + surface sampling (default ON;
     opt.tpu.device_isosurface=false or SCL_DEVICE_ISOSURFACE=0 restores the
     host PyMCubes-style path). See eval3d/device_isosurface.py."""
@@ -175,28 +175,50 @@ def _use_device_isosurface(opt):
     return bool(opt.get("tpu", {}).get("device_isosurface", True))
 
 
-def _finish_full_device_fn(thresholds, n_points, range_min, range_max):
-    """The fully fused finish: level grid -> marching tets -> area-weighted
-    sampling -> rotate/normalize -> Chamfer -> F-score, ONE device program,
-    the level grid never fetched to host."""
-    key = (tuple(float(t) for t in thresholds), int(n_points),
-           float(range_min), float(range_max))
+_use_device_isosurface = use_device_isosurface
+
+
+def metric_finish_body(opt, level, dpc_gt, pose, pose_gt, rng_key):
+    """TRACEABLE fully fused finish: level grid -> marching tets ->
+    area-weighted sampling -> rotate/normalize -> Chamfer -> F-score.
+    Returns the finish-output tuple consumed by `consume_finish_outputs`;
+    compose inside a larger jit (the trainer fuses it with the eval forward
+    + grid scan into ONE metric-eval program) or use the cached jit wrapper
+    `_finish_full_device_fn`."""
+    range_min, range_max = opt.eval.range
+    thr = tuple(float(t) for t in opt.eval.f_thresholds)
+    dpc_pred = device_isosurface.sample_level_surface_batch(
+        level, int(opt.eval.num_points), range_min, range_max, rng_key)
+    pred, gt = _rotate_and_normalize_pix3d(dpc_pred, dpc_gt, pose, pose_gt)
+    d1_sq, d2_sq = chamfer_dists_sq(pred, gt)
+    dist_acc, dist_comp = jnp.sqrt(d1_sq), jnp.sqrt(d2_sq)
+    f_score = compute_fscore(dist_acc, dist_comp, thr)
+    return (dpc_pred, pred, gt, f_score,
+            dist_acc.mean(axis=1), dist_comp.mean(axis=1),
+            dist_acc.mean(), dist_comp.mean())
+
+
+def consume_finish_outputs(var, outs):
+    """Mutate `var` with the finish-output tuple (ONE bulk host fetch for
+    every host-consumed metric) and return (dist_acc_mean, dist_comp_mean)."""
+    (dpc_pred, pred, gt, f_score, cd_acc, cd_comp, acc_m, comp_m) = outs
+    var.dpc_pred = dpc_pred
+    var.dpc_pred_normalized = pred
+    var.dpc_gt_normalized = gt
+    var.f_score, var.cd_acc, var.cd_comp, acc_m, comp_m = jax.device_get(
+        (f_score, cd_acc, cd_comp, acc_m, comp_m))
+    return float(acc_m), float(comp_m)
+
+
+def _finish_full_device_fn(opt):
+    """Cached jit wrapper around `metric_finish_body` for callers that
+    already hold a level grid."""
+    key = (tuple(float(t) for t in opt.eval.f_thresholds),
+           int(opt.eval.num_points),
+           float(opt.eval.range[0]), float(opt.eval.range[1]))
     fn = _FINISH_FULL_CACHE.get(key)
     if fn is None:
-        thr = key[0]
-
-        @jax.jit
-        def fn(level, dpc_gt, pose, pose_gt, rng_key):
-            dpc_pred = device_isosurface.sample_level_surface_batch(
-                level, n_points, range_min, range_max, rng_key)
-            pred, gt = _rotate_and_normalize_pix3d(dpc_pred, dpc_gt,
-                                                   pose, pose_gt)
-            d1_sq, d2_sq = chamfer_dists_sq(pred, gt)
-            dist_acc, dist_comp = jnp.sqrt(d1_sq), jnp.sqrt(d2_sq)
-            f_score = compute_fscore(dist_acc, dist_comp, thr)
-            return (dpc_pred, pred, gt, f_score,
-                    dist_acc.mean(axis=1), dist_comp.mean(axis=1),
-                    dist_acc.mean(), dist_comp.mean())
+        fn = jax.jit(partial(metric_finish_body, opt))
         _FINISH_FULL_CACHE[key] = fn
     return fn
 
@@ -245,23 +267,16 @@ def eval_metrics_finish(opt, var, level, vis_only=False, rng=None, seed=0,
     dumps them (`need_meshes`). Fallback/vis path: host isosurface then the
     fused device metric finish."""
     if _use_device_isosurface(opt) and not vis_only:
-        range_min, range_max = opt.eval.range
-        fn = _finish_full_device_fn(opt.eval.f_thresholds,
-                                    opt.eval.num_points,
-                                    range_min, range_max)
-        (dpc_pred, pred, gt, f_score, cd_acc, cd_comp, acc_m,
-         comp_m) = fn(level, var.dpc_points, var.pose, var.pose_gt,
-                      jax.random.PRNGKey(seed))
-        var.dpc_pred = dpc_pred
-        var.dpc_pred_normalized = pred
-        var.dpc_gt_normalized = gt
-        var.f_score, var.cd_acc, var.cd_comp, acc_m, comp_m = jax.device_get(
-            (f_score, cd_acc, cd_comp, acc_m, comp_m))
+        outs = _finish_full_device_fn(opt)(
+            level, var.dpc_points, var.pose, var.pose_gt,
+            jax.random.PRNGKey(seed))
+        acc_m, comp_m = consume_finish_outputs(var, outs)
         if need_meshes:  # only PLY dumps read meshes — skip the host MT
+            range_min, range_max = opt.eval.range
             var.mesh_pred = [
                 isosurface.marching_cubes_world(lv, range_min, range_max)
                 for lv in np.asarray(jax.device_get(level))]
-        return float(acc_m), float(comp_m)
+        return acc_m, comp_m
 
     meshes, clouds = extract_meshes_and_pointclouds(
         opt, jax.device_get(level), rng=rng)

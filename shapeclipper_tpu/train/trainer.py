@@ -167,6 +167,21 @@ class Runner:
             return jax.jit(_fwd_and_grid)
         self._eval_forward_and_grid = _make_fwd_and_grid(render=True)
         self._eval_forward_and_grid_metrics = _make_fwd_and_grid(render=False)
+
+        # the whole metric-eval batch as ONE device program: forward + grid
+        # scan + marching tets + sampling + chamfer + F-score — per batch,
+        # one dispatch and one bulk fetch
+        def _metric_eval_all(p, s, v, key):
+            opt_e = self.graph_eval.opt
+            var = self.graph_eval.forward(p, s, v, rng=None, training=False,
+                                          get_loss=False, render=False)[0]
+            level = eval_3D.compute_level_grid(
+                opt_e, self.graph.sdf_network.apply, p["sdf_network"],
+                var.proj_latent_sdf)
+            outs = eval_3D.metric_finish_body(
+                opt_e, level, var.dpc_points, var.pose, var.pose_gt, key)
+            return var, outs
+        self._metric_eval_all = jax.jit(_metric_eval_all)
         # viz batches run with visualize=True (reference `runner.py:352`):
         # the renderer returns 200-ray point/transparency/rgb sample extras
         self._eval_forward_vis = jax.jit(
@@ -471,11 +486,20 @@ class Runner:
         counts_cat = [0.001] * opt.data.num_classes
         n_seen = 0
 
-        def finish(it, n_valid, var, level, cats):
+        # periodic metric evals run the fully fused single-program path
+        # (no renders, no meshes); full eval keeps the two-program path for
+        # host-mesh extraction + dumps
+        device_metrics = training and eval_3D.use_device_isosurface(opt_e)
+
+        def finish(it, n_valid, var, payload, cats):
             nonlocal n_seen
-            eval_3D.eval_metrics_finish(opt_e, var, level,
-                                        rng=np.random.RandomState(it),
-                                        seed=it, need_meshes=not training)
+            if device_metrics:  # payload = finish-output tuple
+                eval_3D.consume_finish_outputs(var, payload)
+            else:               # payload = level grid
+                eval_3D.eval_metrics_finish(opt_e, var, payload,
+                                            rng=np.random.RandomState(it),
+                                            seed=it,
+                                            need_meshes=not training)
             f_scores.append(np.asarray(var.f_score)[:n_valid])
             n_seen += n_valid
             cd_acc = np.asarray(var.cd_acc)[:n_valid]
@@ -521,17 +545,22 @@ class Runner:
             # the device costs a full tunnel RTT per batch
             cats = np.asarray(batch["category_label"])
             var = parallel.shard_batch(self.mesh, _batch_to_var(batch))
-            # periodic metric evals read only latents + pose; full eval
-            # (training=False) renders for dump_results
-            fwd = (self._eval_forward_and_grid if not training
-                   else self._eval_forward_and_grid_metrics)
-            var, level = fwd(self.params, self.batch_stats, var)
+            if device_metrics:
+                var, payload = self._metric_eval_all(
+                    self.params, self.batch_stats, var,
+                    jax.random.PRNGKey(it))
+            else:
+                # full eval (training=False) renders for dump_results;
+                # the host-isosurface fallback needs the level grid
+                fwd = (self._eval_forward_and_grid if not training
+                       else self._eval_forward_and_grid_metrics)
+                var, payload = fwd(self.params, self.batch_stats, var)
             if pending is not None:
                 finish(*pending)
             if pipelined:
-                pending = (it, n_valid, var, level, cats)
+                pending = (it, n_valid, var, payload, cats)
             else:  # serial mode (tpu.eval_pipeline=false; for A/B timing)
-                finish(it, n_valid, var, level, cats)
+                finish(it, n_valid, var, payload, cats)
         if pending is not None:
             finish(*pending)
 
