@@ -56,6 +56,19 @@ def test_triangle_areas_match_host():
     np.testing.assert_allclose(dev_total, host_total, rtol=1e-4)
 
 
+def test_triangle_set_matches_host_with_exact_ties():
+    """Grid values exactly AT the isovalue exercise the strict `<` sign
+    convention both paths share."""
+    rng = np.random.RandomState(7)
+    level = rng.randint(-2, 3, size=(11, 11, 11)).astype(np.float32)
+    host = _numpy_mt_triangles(level)
+    tris, valid = device_isosurface.triangles_for_tests(jnp.asarray(level))
+    dev = np.asarray(tris)[np.asarray(valid)]
+    assert dev.shape[0] == host.shape[0]
+    np.testing.assert_allclose(_sorted_tris(dev), _sorted_tris(host),
+                               atol=2e-5)
+
+
 def test_empty_surface_returns_zeros():
     level = jnp.ones((9, 9, 9), jnp.float32)
     pts = device_isosurface.sample_level_surface(
