@@ -43,6 +43,8 @@ def main():
     os.environ["SCL_CHAMFER_IMPL"] = impl
     if variant_base == "dists_xla_bidir":
         os.environ["SCL_CHAMFER_DISTS"] = "bidir"
+    if variant_base == "dists_xla_bidir_prune":
+        os.environ["SCL_CHAMFER_DISTS"] = "bidir_prune"
 
     import jax
     import numpy as np

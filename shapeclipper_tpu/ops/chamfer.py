@@ -220,6 +220,135 @@ def _nn_dists_xla_bidir(x1, x2, tile1=None, tile2=None):
             jnp.maximum(best2.reshape(-1)[:n2], 0.0))
 
 
+def _part1by2(v):
+    """Spread the low 10 bits of v so there are two zero bits between each
+    (Morton-code helper)."""
+    v = v & 0x3FF
+    v = (v | (v << 16)) & 0x30000FF
+    v = (v | (v << 8)) & 0x300F00F
+    v = (v | (v << 4)) & 0x30C30C3
+    v = (v | (v << 2)) & 0x9249249
+    return v
+
+
+def _morton_keys(pts, lo, inv_extent):
+    """[N, 3] -> uint-ish int32 Morton keys on a 1024^3 lattice over the
+    joint bounding box (spatial sort key: nearby points get nearby keys)."""
+    q = jnp.clip(((pts - lo) * inv_extent * 1023.0).astype(jnp.int32),
+                 0, 1023)
+    return (_part1by2(q[:, 0]) | (_part1by2(q[:, 1]) << 1)
+            | (_part1by2(q[:, 2]) << 2))
+
+
+def _nn_dists_xla_bidir_prune(x1, x2, tile1=None, tile2=None):
+    """EXACT bbox-culled bidirectional NN sweep (single cloud pair).
+
+    Both clouds are Morton-sorted so scan tiles are spatially coherent;
+    each [tile1] x [tile2] pair carries bounding boxes, and a lax.cond
+    skips the whole pair when the box-to-box lower bound exceeds the
+    largest still-improvable running minimum on BOTH sides — a pruned pair
+    provably cannot change any row's min, so the result is bitwise equal
+    to the unpruned bidir sweep (per-pair distances are computed
+    identically and min is order-independent). A proportionally-aligned
+    seed pass primes the running minima so pruning bites from the first
+    row of the sweep.
+
+    The reference's CUDA kernel (`external/chamfer3D/chamfer3D.cu:12-134`)
+    is a pure brute-force sweep; this removes most of that work when the
+    clouds overlap. Call via lax.map over the batch — under vmap the cond
+    becomes a select and executes both branches."""
+    import os
+    tile1 = tile1 or int(os.environ.get("SCL_CHAMFER_TILE1", 2048))
+    tile2 = tile2 or int(os.environ.get("SCL_CHAMFER_TILE2", 16384))
+    n1, n2 = x1.shape[0], x2.shape[0]
+    n1p, n2p = _round_up(n1, tile1), _round_up(n2, tile2)
+
+    lo = jnp.minimum(x1.min(0), x2.min(0))
+    hi = jnp.maximum(x1.max(0), x2.max(0))
+    inv_extent = 1.0 / jnp.maximum(hi - lo, 1e-12)
+    p1 = jnp.argsort(_morton_keys(x1, lo, inv_extent))
+    p2 = jnp.argsort(_morton_keys(x2, lo, inv_extent))
+    x1s, x2s = x1[p1], x2[p2]
+
+    # padded rows at +1e15: never the minimum for real rows, and their own
+    # mins are sliced away after unsorting
+    x1p = jnp.full((n1p, 3), 1e15, x1.dtype).at[:n1].set(x1s)
+    x2p = jnp.full((n2p, 3), 1e15, x2.dtype).at[:n2].set(x2s)
+    x1t = x1p.reshape(n1p // tile1, tile1, 3)
+    x2t = x2p.reshape(n2p // tile2, tile2, 3)
+    T1, T2 = x1t.shape[0], x2t.shape[0]
+
+    # per-tile bounding boxes over REAL rows only (pad rows sit at 1e15 and
+    # would inflate the hi corner; mask them out of the min/max)
+    def _bbox(tiles):
+        real = tiles[..., 0] < 1e14
+        lo_t = jnp.min(jnp.where(real[..., None], tiles, 1e15), axis=1)
+        hi_t = jnp.max(jnp.where(real[..., None], tiles, -1e15), axis=1)
+        return lo_t, hi_t
+    b1lo, b1hi = _bbox(x1t)                      # [T1, 3]
+    b2lo, b2hi = _bbox(x2t)                      # [T2, 3]
+
+    def _lb_sq(alo, ahi, blo, bhi):
+        gap = jnp.maximum(jnp.maximum(alo - bhi, blo - ahi), 0.0)
+        return jnp.sum(gap * gap)
+
+    def _tile_mins(a, bt):                       # [t1,3], [t2,3]
+        d = ((a[:, None, 0] - bt[None, :, 0]) ** 2
+             + (a[:, None, 1] - bt[None, :, 1]) ** 2
+             + (a[:, None, 2] - bt[None, :, 2]) ** 2)
+        return jnp.min(d, axis=1), jnp.min(d, axis=0)
+
+    # seed pass: proportionally aligned tile pairs (Morton-close tiles are
+    # spatially close) prime finite upper bounds before the main sweep
+    best1 = jnp.full((T1, tile1), BIG, jnp.float32)
+    best2 = jnp.full((T2, tile2), BIG, jnp.float32)
+
+    def seed1(i, b):
+        j = jnp.minimum((i * T2) // T1, T2 - 1)
+        m1, _ = _tile_mins(x1t[i], jax.lax.dynamic_index_in_dim(
+            x2t, j, keepdims=False))
+        return b.at[i].set(m1)
+    best1 = jax.lax.fori_loop(0, T1, seed1, best1)
+
+    def seed2(j, b):
+        i = jnp.minimum((j * T1) // T2, T1 - 1)
+        _, m2 = _tile_mins(jax.lax.dynamic_index_in_dim(
+            x1t, i, keepdims=False), x2t[j])
+        return b.at[j].set(m2)
+    best2 = jax.lax.fori_loop(0, T2, seed2, best2)
+
+    def outer(best2_all, xs):
+        a, alo, ahi, b1 = xs                     # tile1 row block
+
+        def inner(carry, ys):
+            b1, = carry
+            bt, blo, bhi, b2 = ys
+            lb = _lb_sq(alo, ahi, blo, bhi)
+            # prune iff the pair can improve NEITHER side's worst live row
+            worst = jnp.maximum(jnp.max(b1), jnp.max(b2))
+
+            def compute(_):
+                m1, m2 = _tile_mins(a, bt)
+                return jnp.minimum(b1, m1), jnp.minimum(b2, m2)
+
+            b1n, b2n = jax.lax.cond(lb < worst, compute,
+                                    lambda _: (b1, b2), None)
+            return (b1n,), b2n
+
+        (b1,), best2_new = jax.lax.scan(
+            inner, (b1,), (x2t, b2lo, b2hi, best2_all))
+        return best2_new, b1
+
+    best2, best1 = jax.lax.scan(
+        outer, best2, (x1t, b1lo, b1hi, best1))
+
+    d1 = jnp.zeros((n1,), jnp.float32).at[p1].set(
+        best1.reshape(-1)[:n1])
+    d2 = jnp.zeros((n2,), jnp.float32).at[p2].set(
+        best2.reshape(-1)[:n2])
+    return jnp.maximum(d1, 0.0), jnp.maximum(d2, 0.0)
+
+
 def _nn_dists_xla_onedir(x1, x2, tile1=None, tile2=None):
     """Distance-only single-direction tiled NN (the `_nn_one_direction_xla`
     sweep without the argmin bookkeeping). x1 [N1,3], x2 [N2,3] -> [N1].
@@ -291,7 +420,13 @@ def chamfer_dists_sq(x1, x2):
     if _impl() == "pallas":
         f = partial(_nn_dist_one_direction, interpret=_use_interpret())
         return jax.vmap(f)(x1, x2), jax.vmap(f)(x2, x1)
-    if os.environ.get("SCL_CHAMFER_DISTS", "bidir") == "bidir":
+    mode = os.environ.get("SCL_CHAMFER_DISTS", "bidir")
+    if mode == "bidir_prune":
+        # lax.map, not vmap: vmap would turn the tile-pair culling cond
+        # into a select that executes both branches
+        return jax.lax.map(
+            lambda ab: _nn_dists_xla_bidir_prune(ab[0], ab[1]), (x1, x2))
+    if mode == "bidir":
         return jax.vmap(_nn_dists_xla_bidir)(x1, x2)
     f = _nn_dists_xla_onedir
     return jax.vmap(f)(x1, x2), jax.vmap(f)(x2, x1)

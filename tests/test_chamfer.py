@@ -81,6 +81,30 @@ def test_chamfer_nodot_cross_matches_reference(dists_mode, monkeypatch):
                                atol=1e-5)
 
 
+def test_chamfer_bidir_prune_exact(monkeypatch):
+    """The Morton-sorted bbox-culled sweep is EXACT: per-pair distances are
+    computed identically and min is order-independent, so it must equal the
+    unpruned bidir sweep bitwise (and the O(N^2) reference to fp tolerance),
+    including tile-boundary and clustered-cloud regimes."""
+    monkeypatch.setenv("SCL_CHAMFER_DISTS", "bidir_prune")
+    monkeypatch.setenv("SCL_CHAMFER_TILE1", "128")
+    monkeypatch.setenv("SCL_CHAMFER_TILE2", "256")
+    # uniform + clustered (two separated blobs => heavy pruning) + ragged N
+    x1, x2 = _rand_clouds(key=11, B=2, N1=700, N2=900)
+    x1 = x1.at[1].set(x1[1] * 0.05)                 # tight cluster vs spread
+    x2 = x2.at[1].add(2.0)                          # disjoint offset blob
+    d1, d2 = chamfer_dists_sq(x1, x2)
+    monkeypatch.setenv("SCL_CHAMFER_DISTS", "bidir")
+    b1, b2 = chamfer_dists_sq(x1, x2)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(b1))
+    np.testing.assert_array_equal(np.asarray(d2), np.asarray(b2))
+    rd1, rd2, _, _ = chamfer_distance_sq_reference(x1, x2)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(rd1), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(rd2), rtol=1e-4,
+                               atol=1e-5)
+
+
 def test_chamfer_dists_only_asymmetric_batch():
     x1, x2 = _rand_clouds(key=8, B=3, N1=57, N2=201)
     d1, d2 = chamfer_dists_sq(x1, x2)
