@@ -254,8 +254,13 @@ def _nn_dists_xla_bidir_prune(x1, x2, tile1=None, tile2=None):
     row of the sweep.
 
     The reference's CUDA kernel (`external/chamfer3D/chamfer3D.cu:12-134`)
-    is a pure brute-force sweep; this removes most of that work when the
-    clouds overlap. Call via lax.map over the batch — under vmap the cond
+    is a pure brute-force sweep. MEASURED EXPECTATION (host simulation on
+    realistic normalized eval clouds, blob-vs-chair at 98k pts): tile-level
+    culling prunes almost nothing on OVERLAPPING clouds — the per-tile
+    `worst` bound is set by the single hardest row, so 82-100% of pairs
+    still compute (speedup bound 0.84-1.16x across tile sizes). It only
+    pays on well-separated or tightly matching clouds; hence opt-in, not
+    the default. Call via lax.map over the batch — under vmap the cond
     becomes a select and executes both branches."""
     import os
     tile1 = tile1 or int(os.environ.get("SCL_CHAMFER_TILE1", 2048))
