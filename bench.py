@@ -24,6 +24,7 @@ Prints ONE JSON line:
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -32,7 +33,40 @@ os.environ.setdefault("SCL_BENCH", "1")
 ASSUMED_A100_REFERENCE_ITS = 2.0
 
 
+def _wait_for_device():
+    """Wait out TPU-tunnel outages before the real run.
+
+    The axon tunnel has been observed DOWN for 5+ hours (CLAUDE.md): during an
+    outage `jax.devices()` blocks for minutes and then raises UNAVAILABLE,
+    which would lose the round's benchmark. Probe with a cheap subprocess
+    (so a hung backend init can be timed out and doesn't poison this
+    process), retrying with a generous budget. Progress goes to stderr;
+    stdout stays reserved for the one JSON line."""
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(float(jnp.ones((4, 4)).sum()))")
+    tries = int(os.environ.get("SCL_BENCH_PROBE_TRIES", "12"))
+    sleep_s = float(os.environ.get("SCL_BENCH_PROBE_SLEEP", "120"))
+    for i in range(tries):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=240)
+            if r.returncode == 0:
+                if i:
+                    print(f"bench: device reachable after {i} retries",
+                          file=sys.stderr)
+                return
+            err = (r.stderr or b"").decode(errors="replace").strip()[-200:]
+        except subprocess.TimeoutExpired:
+            err = "probe timeout (240s)"
+        print(f"bench: device probe {i + 1}/{tries} failed ({err}); "
+              f"retrying in {sleep_s:.0f}s", file=sys.stderr)
+        time.sleep(sleep_s)
+    print("bench: device never became reachable; attempting the run anyway",
+          file=sys.stderr)
+
+
 def main():
+    _wait_for_device()
     import jax
     import jax.numpy as jnp
     import optax
@@ -139,4 +173,29 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — still print ONE parseable line
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        last = None
+        try:
+            with open(os.path.join(os.path.dirname(__file__),
+                                   "output/bench_r4_local.json")) as f:
+                for line in f:
+                    line = line.strip()
+                    if line.startswith("{"):
+                        last = json.loads(line).get("value", last)
+        except Exception:
+            pass
+        print(json.dumps({
+            "metric": "pix3d_train_iters_per_sec_per_chip",
+            "value": None, "unit": "it/s", "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}"[:300],
+            "last_measured_its": last,
+            "note": ("bench could not run (TPU tunnel outages of 5+ h were "
+                     "observed this round); last_measured_its is the most "
+                     "recent committed measurement, "
+                     "output/bench_r4_local.json"),
+        }))
+        sys.exit(0)

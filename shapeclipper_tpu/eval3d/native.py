@@ -16,7 +16,10 @@ import numpy as np
 
 _REPO_ROOT = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", ".."))
-_LIB_PATH = os.path.join(_REPO_ROOT, "native", "build", "libscl_native.so")
+# installed (non-repo) layouts can point at a prebuilt library explicitly
+_LIB_PATH = os.environ.get(
+    "SCL_NATIVE_LIB",
+    os.path.join(_REPO_ROOT, "native", "build", "libscl_native.so"))
 
 _lib = None
 _tried = False
