@@ -192,6 +192,20 @@ def select_nn_views(opt, query_mask_sampled, nn_masks_sampled, rng):
 _FORK_DATASET = None
 
 
+def _raise_nofile_limit(target: int = 2048):
+    """Best-effort soft RLIMIT_NOFILE raise before spawning worker
+    processes (the reference does this at runner import to survive
+    many-worker loaders, `model/runner.py:8-9`)."""
+    try:
+        import resource
+        soft, hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+        if soft < target:
+            resource.setrlimit(resource.RLIMIT_NOFILE,
+                               (min(target, hard), hard))
+    except (ImportError, ValueError, OSError):
+        pass
+
+
 def _fork_init(ds):
     global _FORK_DATASET
     _FORK_DATASET = ds
@@ -262,6 +276,7 @@ class DataLoader:
         def make_pool():
             if self.worker_type == "process":
                 import multiprocessing as mp
+                _raise_nofile_limit()
                 return ProcessPoolExecutor(
                     self.num_workers, mp_context=mp.get_context("fork"),
                     initializer=_fork_init, initargs=(self.dataset,))
