@@ -45,8 +45,15 @@ echo "--- bench_eval 8 100 $(date -u +%FT%TZ)" >> "$LOG"
 timeout 5400 python scripts/bench_eval.py 8 100 >> "$LOG" 2>&1
 echo "rc=$?" >> "$LOG"
 
-echo "--- chamfer dists_pallas (patient) $(date -u +%FT%TZ)" >> "$LOG"
-timeout 14400 python scripts/bench_chamfer.py dists_pallas >> "$LOG" 2>&1
-echo "rc=$?" >> "$LOG"
+# The patient Mosaic-compile attempt can hold the chip for hours; skip it
+# near round end so it cannot collide with the driver's round-end bench.
+CUTOFF_UTC="${SCL_QUEUE_CHAMFER_CUTOFF:-14:00}"
+if [ "$(date -u +%H:%M)" \< "$CUTOFF_UTC" ]; then
+    echo "--- chamfer dists_pallas (patient) $(date -u +%FT%TZ)" >> "$LOG"
+    timeout 10800 python scripts/bench_chamfer.py dists_pallas >> "$LOG" 2>&1
+    echo "rc=$?" >> "$LOG"
+else
+    echo "--- chamfer dists_pallas SKIPPED (past $CUTOFF_UTC UTC)" >> "$LOG"
+fi
 
 echo "=== tpu_queue done $(date -u +%FT%TZ) ===" >> "$LOG"
