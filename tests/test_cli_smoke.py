@@ -56,6 +56,18 @@ def test_train_and_evaluate_cli(tmp_path):
     assert (out / "f_score.txt").exists()
     assert (out / "chamfer.txt").exists()
 
+    # single-image inference from the same run's best checkpoint, fed one
+    # of evaluate's dumped inputs
+    img = out / "dump" / "0_image_input.png"
+    assert img.exists()
+    r = _run(["infer.py"] + common
+             + ["--resume", f"--image={img}", "--n_rotate=2",
+                "--force_override"], tmp_path)
+    assert r.returncode == 0, r.stderr[-3000:]
+    for f in ("0_image_recon.png", "0_mask_recon.png", "0_normal_recon.png",
+              "0_mesh.ply", "0_image_rotate.gif"):
+        assert (out / "infer" / f).exists(), f
+
 
 @pytest.mark.slow
 def test_clip_anno_cli(tmp_path):
