@@ -83,6 +83,41 @@ def _softplus100(x):
     return jax.nn.softplus(100.0 * x) / 100.0
 
 
+@jax.tree_util.register_pytree_node_class
+class SplitLatent:
+    """Per-sample latent with a different gradient treatment across a
+    point-axis split: points [:, :n_main] condition on `main`, the rest on
+    `alt` (typically ``stop_gradient(main)``).
+
+    Lets ONE MLP evaluation serve both the render samples (latent attached)
+    and the eikonal points (latent detached, reference
+    `model/implicit.py:168-169` compute_grad=True) — the two per-sample
+    biases are each [B, 1, F]; the point-indexed select fuses into the
+    matmul epilogue, so folding costs no extra HBM tensors."""
+
+    def __init__(self, main, alt, n_main):
+        self.main, self.alt, self.n_main = main, alt, n_main
+
+    def tree_flatten(self):
+        return (self.main, self.alt), self.n_main
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux)
+
+    def astype(self, dtype):
+        return SplitLatent(self.main.astype(dtype), self.alt.astype(dtype),
+                           self.n_main)
+
+    @property
+    def shape(self):
+        return self.main.shape
+
+    @property
+    def ndim(self):
+        return self.main.ndim
+
+
 class _FactoredLinear(nn.Module):
     """Dense layer applied to a virtual concatenation of input segments.
 
@@ -101,14 +136,24 @@ class _FactoredLinear(nn.Module):
     @nn.compact
     def __call__(self, segments):
         """segments: list of (array, scale) where array is [B, N, k]
-        (per-point) or [B, k] (per-sample); segment widths must sum to
-        in_dim in order."""
+        (per-point), [B, k] (per-sample), or a SplitLatent; segment widths
+        must sum to in_dim in order."""
         kernel = self.param("kernel", self.kernel_init,
                             (self.in_dim, self.features))
         bias = self.param("bias", self.bias_init, (self.features,))
         out = None
         offset = 0
+        deferred = []  # SplitLatent contributions applied once N is known
         for arr, scale in segments:
+            if isinstance(arr, SplitLatent):
+                k = arr.main.shape[-1]
+                w = kernel[offset:offset + k]
+                if scale != 1.0:
+                    w = w * scale
+                deferred.append(((arr.main @ w)[:, None, :],
+                                 (arr.alt @ w)[:, None, :], arr.n_main))
+                offset += k
+                continue
             k = arr.shape[-1]
             w = kernel[offset:offset + k]
             if scale != 1.0:
@@ -119,6 +164,12 @@ class _FactoredLinear(nn.Module):
             out = y if out is None else out + y
             offset += k
         assert offset == self.in_dim, (offset, self.in_dim)
+        for y_main, y_alt, n_main in deferred:
+            assert out is not None and out.ndim == 3, \
+                "SplitLatent needs a per-point segment to define N"
+            n = out.shape[1]
+            mask = (jnp.arange(n) < n_main)[None, :, None]
+            out = out + jnp.where(mask, y_main, y_alt)
         return out + bias
 
 

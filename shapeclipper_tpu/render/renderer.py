@@ -18,14 +18,15 @@ TPU-first design points:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from .. import camera
-from ..models.implicit import (laplace_density, laplace_density_dsdf,
-                               sdf_with_gradient)
+from ..models.implicit import (SplitLatent, laplace_density,
+                               laplace_density_dsdf, sdf_with_gradient)
 from ..ops.fused_sdf import fused_sdf_train, sdf_fwdmode_xla
 
 
@@ -199,7 +200,44 @@ def render(
     # latent passed per-sample [B, C]; the MLP factors it into a broadcast
     # bias (no per-point repetition)
     sdf_grad = _sdf_grad_fn(opt, sdf_apply, params)
-    sdf, sdf_feat, grad_sdf = sdf_grad(points_flat, proj_latent_sdf, False)
+    grad_mode = opt.get("tpu", {}).get("sdf_grad_mode", "vjp")
+    env_fold = os.environ.get("SCL_FOLD_EIKONAL")  # A/B override
+    cfg_fold = (opt.get("tpu", {}).get("fold_eikonal", True)
+                if env_fold is None else env_fold != "0")
+    fold_eikonal = compute_eikonal and grad_mode == "vjp" and cfg_fold
+    grad_eikonal = None
+    if fold_eikonal:
+        # Fold the eikonal points into the SAME field evaluation so one
+        # fwd+bwd MLP chain serves both — the separate [B, 2R] chain was
+        # pure fixed-overhead (its point count is ~0.5% of the render's).
+        # SplitLatent keeps the eikonal slice's latent detached (reference
+        # `model/implicit.py:168-169`) while the render slice stays attached.
+        Be = eikonal_batch if eikonal_batch is not None else B
+        lo, hi = opt.arch.impl_sdf.eikonal_sample_range
+        eik_uniform = jax.random.uniform(
+            rng_eik_pts, (Be, R, 3), minval=lo, maxval=hi)
+        if Be < B:  # pad discarded rows (merged NN render: only the first
+            eik_uniform = jnp.concatenate(  # Be rows feed the eikonal loss)
+                [eik_uniform, jnp.zeros((B - Be, R, 3), eik_uniform.dtype)],
+                axis=0)
+        eik_near = cam_loc + z_eik * ray_dirs                     # [B,R,3]
+        eik_block = jnp.concatenate([eik_uniform, eik_near], axis=1)
+        n_main = R * S
+        merged_points = jnp.concatenate([points_flat, eik_block], axis=1)
+        latent = SplitLatent(proj_latent_sdf,
+                             jax.lax.stop_gradient(proj_latent_sdf), n_main)
+        sdf_all, feat_all, grad_all = sdf_grad(merged_points, latent, False)
+        sdf = sdf_all[:, :n_main]
+        sdf_feat = feat_all[:, :n_main]
+        grad_sdf = grad_all[:, :n_main]
+        grad_eik = grad_all[:Be, n_main:]                         # [Be,2R,3]
+        # sqrt(max(.)) keeps the gradient finite at a zero SDF gradient
+        # (critical points of the field); forward differs only below 1e-12
+        grad_eikonal = jnp.sqrt(jnp.maximum(
+            jnp.sum(grad_eik * grad_eik, axis=-1), 1e-24))        # [Be,2R]
+    else:
+        sdf, sdf_feat, grad_sdf = sdf_grad(points_flat, proj_latent_sdf,
+                                           False)
     beta = params["density"]["beta"]
     density = laplace_density(sdf, beta).reshape(B, R, S)
 
@@ -228,9 +266,8 @@ def render(
     mask = acc_map[..., None]
     mask_hard = (mask > 0.5).astype(rgb_output.dtype)
 
-    # --- eikonal points (training only) --------------------------------------
-    grad_eikonal = None
-    if compute_eikonal:
+    # --- eikonal points (training only; non-folded fallback) -----------------
+    if compute_eikonal and not fold_eikonal:
         Be = eikonal_batch if eikonal_batch is not None else B
         lo, hi = opt.arch.impl_sdf.eikonal_sample_range
         eik_uniform = jax.random.uniform(

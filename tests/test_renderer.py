@@ -140,6 +140,66 @@ def test_render_is_jittable_and_differentiable(base_opt):
     assert float(jnp.abs(grads["density"]["beta"])) > 0
 
 
+def test_render_eikonal_fold_parity(base_opt):
+    """Folded eikonal evaluation (one merged field call, tpu.fold_eikonal)
+    must match the separate-call path: forward outputs, grad_eikonal, and
+    training gradients — including that the eikonal loss still sends NO
+    gradient to the latent (reference detaches it,
+    `model/implicit.py:168-169`)."""
+    opt, sdf_net, rgb_net, params, pose, intr, scale_dist, ls, lr = _setup(
+        base_opt, H=8, W=8)
+    B, Rn = 2, 16
+    ray_idx = jax.random.randint(jax.random.PRNGKey(5), (B, Rn), 0,
+                                 opt.H * opt.W)
+    ls = jax.random.normal(jax.random.PRNGKey(11), (B, 64)) * 0.1
+
+    def run(fold, eikonal_batch=None):
+        o = opt.deepcopy()
+        o.tpu.fold_eikonal = fold
+        return R.render(o, sdf_net.apply, rgb_net.apply, params, pose, intr,
+                        scale_dist, ls, lr, ray_idx=ray_idx,
+                        rng=jax.random.PRNGKey(3), training=True,
+                        eikonal_batch=eikonal_batch)
+
+    a, b = run(True), run(False)
+    for name in ("rgb", "mask", "depth", "normal", "grad_eikonal"):
+        np.testing.assert_allclose(np.asarray(getattr(a, name)),
+                                   np.asarray(getattr(b, name)),
+                                   atol=1e-5, rtol=1e-5, err_msg=name)
+
+    # eikonal_batch < B: only the first row's eikonal gradients
+    a1, b1 = run(True, eikonal_batch=1), run(False, eikonal_batch=1)
+    assert a1.grad_eikonal.shape == (1, 2 * Rn)
+    np.testing.assert_allclose(np.asarray(a1.grad_eikonal),
+                               np.asarray(b1.grad_eikonal),
+                               atol=1e-5, rtol=1e-5)
+
+    def grads(fold, eik_only):
+        o = opt.deepcopy()
+        o.tpu.fold_eikonal = fold
+
+        def loss_fn(p, lat):
+            out = R.render(o, sdf_net.apply, rgb_net.apply, p, pose, intr,
+                           scale_dist, lat, lr, ray_idx=ray_idx,
+                           rng=jax.random.PRNGKey(3), training=True)
+            le = jnp.mean((out.grad_eikonal - 1.0) ** 2)
+            if eik_only:
+                return le
+            return le + jnp.mean(out.rgb ** 2) + jnp.mean(out.normal ** 2)
+
+        return jax.grad(loss_fn, argnums=(0, 1))(params, ls)
+
+    ga, gb = grads(True, False), grads(False, False)
+    for la, lb in zip(jax.tree_util.tree_leaves(ga),
+                      jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   atol=2e-4, rtol=2e-3)
+    # eikonal-only loss: zero latent gradient in BOTH paths (detached)
+    for fold in (True, False):
+        _, glat = grads(fold, True)
+        assert float(jnp.abs(glat).max()) == 0.0, fold
+
+
 def test_render_visualize_extras(base_opt):
     opt, sdf_net, rgb_net, params, pose, intr, scale_dist, ls, lr = _setup(base_opt, H=8, W=8)
     out = R.render(opt, sdf_net.apply, rgb_net.apply, params, pose, intr,
