@@ -52,7 +52,42 @@ class Estimator(nn.Module):
     perspect_range: float = 0.0
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        # attribute names ARE the param-tree names (setup-style); ResNet_0
+        # keeps the name the original compact module auto-assigned so
+        # existing checkpoints/param trees load unchanged
+        self.ResNet_0 = resnet18(num_classes=None, dtype=self.dtype)
+        n = 512  # resnet18 final feature width
+        self.extr_head = BottleneckLinear(n, zero_init=True)
+        self.extr_fc = nn.Dense(6, kernel_init=_extr_kernel_init,
+                                bias_init=_extr_bias_init)
+        self.size_head = BottleneckLinear(n, zero_init=True)
+        self.size_fc = nn.Dense(1, kernel_init=nn.initializers.zeros_init(),
+                                bias_init=nn.initializers.zeros_init())
+        self.perspect_head = BottleneckLinear(n, zero_init=True)
+        self.perspect_fc = nn.Dense(
+            1, kernel_init=nn.initializers.zeros_init(),
+            bias_init=nn.initializers.zeros_init())
+
+    def heads(self, feat, train: bool = True, groups: int = 1,
+              stats_groups: tuple | None = None) -> EstimatorOutputs:
+        """Trig extrinsic + scale heads on backbone features [B, 512]
+        (reference `model/view_estimator.py:80-103`). Exposed separately so
+        the head composition can be parity-tested without the backbone."""
+        hkw = dict(train=train, groups=groups, stats_groups=stats_groups)
+        trig = self.extr_fc(self.extr_head(feat, **hkw))
+        scale_size_raw = jnp.tanh(self.size_fc(self.size_head(feat, **hkw)))
+        scale_persp_raw = jnp.tanh(
+            self.perspect_fc(self.perspect_head(feat, **hkw)))
+        scale_size = 1.0 + scale_size_raw[..., 0] * self.size_range
+        scale_perspect = 1.0 + scale_persp_raw[..., 0] * self.perspect_range
+        return EstimatorOutputs(
+            trig_azim=_normalize(trig[:, 0:2]),
+            trig_elev=_normalize(trig[:, 2:4]),
+            trig_theta=_normalize(trig[:, 4:6]),
+            scale_focal=scale_perspect,
+            scale_dist=scale_size * scale_perspect)
+
     def __call__(self, images, train: bool = True, groups: int = 1,
                  stats_groups: tuple | None = None) -> EstimatorOutputs:
         """`groups=G` treats the batch as G equal view-groups and computes
@@ -62,35 +97,10 @@ class Estimator(nn.Module):
         `model/loss.py:114`, `model/graph.py:174-218`); `stats_groups`
         selects which groups update running stats (the flip pass's update is
         discarded, matching the unmerged path)."""
-        feat = resnet18(num_classes=None, dtype=self.dtype)(
-            images, train=train, groups=groups,
-            stats_groups=stats_groups)                   # [B, 512]
-        n = feat.shape[-1]
-
-        extr_head = BottleneckLinear(n, zero_init=True, name="extr_head")
-        extr_fc = nn.Dense(6, kernel_init=_extr_kernel_init,
-                           bias_init=_extr_bias_init, name="extr_fc")
-        size_head = BottleneckLinear(n, zero_init=True, name="size_head")
-        size_fc = nn.Dense(1, kernel_init=nn.initializers.zeros_init(),
-                           bias_init=nn.initializers.zeros_init(),
-                           name="size_fc")
-        persp_head = BottleneckLinear(n, zero_init=True, name="perspect_head")
-        persp_fc = nn.Dense(1, kernel_init=nn.initializers.zeros_init(),
-                            bias_init=nn.initializers.zeros_init(),
-                            name="perspect_fc")
-
-        hkw = dict(train=train, groups=groups, stats_groups=stats_groups)
-        trig = extr_fc(extr_head(feat, **hkw))
-        scale_size_raw = jnp.tanh(size_fc(size_head(feat, **hkw)))
-        scale_persp_raw = jnp.tanh(persp_fc(persp_head(feat, **hkw)))
-        scale_size = 1.0 + scale_size_raw[..., 0] * self.size_range
-        scale_perspect = 1.0 + scale_persp_raw[..., 0] * self.perspect_range
-        return EstimatorOutputs(
-            trig_azim=_normalize(trig[:, 0:2]),
-            trig_elev=_normalize(trig[:, 2:4]),
-            trig_theta=_normalize(trig[:, 4:6]),
-            scale_focal=scale_perspect,
-            scale_dist=scale_size * scale_perspect)
+        feat = self.ResNet_0(images, train=train, groups=groups,
+                             stats_groups=stats_groups)      # [B, 512]
+        return self.heads(feat, train=train, groups=groups,
+                          stats_groups=stats_groups)
 
     @staticmethod
     def from_opt(opt, dtype=jnp.float32):

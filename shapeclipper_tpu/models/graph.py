@@ -42,11 +42,32 @@ def _dtype_from_str(s):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[s or "float32"]
 
 
+def pose_from_trig(opt, trig_azim, trig_elev, trig_theta, scale_focal,
+                   scale_dist):
+    """Compose estimator outputs into (pose [B,3,4], intr [B,3,3]).
+
+    Rotation = Rz·Rx·Ry·R_permute, translation = [0, 0, dist·scale_dist]
+    (reference `model/graph.py:267-293` pred_pose)."""
+    Ry = camera.azim_to_rotation_matrix(trig_azim, "trig")
+    Rx = camera.elev_to_rotation_matrix(trig_elev, "trig")
+    Rz = camera.roll_to_rotation_matrix(trig_theta, "trig")
+    R = Rz @ Rx @ Ry @ R_PERMUTE[None]
+    pose_R = camera.pose(R=R)
+    trans_z = scale_dist * opt.camera.dist
+    trans = jnp.stack([jnp.zeros_like(trans_z), jnp.zeros_like(trans_z),
+                       trans_z], axis=-1)
+    pose_T = camera.pose(t=trans)
+    pose = camera.compose([pose_R, pose_T])
+    intr = camera.get_intr(opt, scale_focal)
+    return pose, intr
+
+
 class Graph:
     """Model bundle + pure forward/loss functions."""
 
     def __init__(self, opt):
         self.opt = opt
+        self.bn_replicas = self._resolve_bn_replicas(opt)
         enc_dtype = _dtype_from_str(opt.get("tpu", {}).get("encoder_dtype"))
         self.encoder = make_encoder(opt, dtype=enc_dtype)
         self.estimator = Estimator.from_opt(opt, dtype=enc_dtype)
@@ -152,9 +173,43 @@ class Graph:
         return params, batch_stats
 
     # --------------------------------------------------------------- helpers
+    @staticmethod
+    def _resolve_bn_replicas(opt):
+        """Per-replica BN group count (tpu.bn_mode=per_replica).
+
+        The reference's DDP computes BN moments per GPU over its local
+        minibatch (reference `model/runner.py:121`); under GSPMD the whole
+        step is traced globally, so the default is GLOBAL-batch moments
+        (PARITY.md). `tpu.bn_mode=per_replica` recovers DDP semantics: a 1-D
+        data mesh shards the batch axis into contiguous equal blocks, so
+        sub-grouping every BN group by the mesh size computes exactly the
+        per-device moments. Shard count comes from tpu.bn_replicas when set,
+        else the mesh size."""
+        tpu = opt.get("tpu", {})
+        if tpu.get("bn_mode", "global") != "per_replica":
+            return 1
+        n = tpu.get("bn_replicas")
+        if n:
+            return int(n)
+        from ..parallel import make_mesh
+        return make_mesh(opt).size
+
     def _apply_bn(self, module, params, stats, args, train, bn_eval,
-                  **kwargs):
-        """Apply a BN-bearing module; returns (out, new_stats)."""
+                  groups=1, stats_groups=None, **kwargs):
+        """Apply a BN-bearing module; returns (out, new_stats).
+
+        With per-replica BN (see _resolve_bn_replicas), every view-group is
+        sub-grouped by the shard count, and running stats update from shard
+        0's moments only — matching DDP's broadcast_buffers semantics where
+        rank 0's buffer EMA wins each step (torch DDP default)."""
+        rep = self.bn_replicas
+        if rep > 1 and train and not bn_eval:
+            base = (stats_groups if stats_groups is not None
+                    else tuple(range(groups)))
+            groups = groups * rep
+            stats_groups = tuple(g * rep for g in base)
+        if groups != 1 or stats_groups is not None:
+            kwargs = dict(kwargs, groups=groups, stats_groups=stats_groups)
         variables = {"params": params, "batch_stats": stats}
         if train and not bn_eval:
             out, mut = module.apply(variables, *args, train=True,
@@ -177,17 +232,9 @@ class Graph:
                                         stats["estimator"], (images,),
                                         train, bn_eval, groups=groups,
                                         stats_groups=stats_groups)
-        Ry = camera.azim_to_rotation_matrix(est.trig_azim, "trig")
-        Rx = camera.elev_to_rotation_matrix(est.trig_elev, "trig")
-        Rz = camera.roll_to_rotation_matrix(est.trig_theta, "trig")
-        R = Rz @ Rx @ Ry @ R_PERMUTE[None]
-        pose_R = camera.pose(R=R)
-        trans_z = est.scale_dist * opt.camera.dist
-        trans = jnp.stack([jnp.zeros_like(trans_z), jnp.zeros_like(trans_z),
-                           trans_z], axis=-1)
-        pose_T = camera.pose(t=trans)
-        pose = camera.compose([pose_R, pose_T])
-        intr = camera.get_intr(opt, est.scale_focal)
+        pose, intr = pose_from_trig(opt, est.trig_azim, est.trig_elev,
+                                    est.trig_theta, est.scale_focal,
+                                    est.scale_dist)
         return pose, intr, est, new_stats
 
     def encode(self, params, stats, images, train, bn_eval):
@@ -462,6 +509,7 @@ class Graph:
             union = jnp.sum(cur_masks + inp_mask - cur_masks * inp_mask
                             + 1e-8, axis=-1)
             scores = (1.0 - inter / union) ** opt.reg.sample_temp  # [B,K]
+            var.nn_scores = scores  # selection weights (vis / parity tests)
             # Gumbel top-k == weighted sampling without replacement
             logp = jnp.log(jnp.maximum(scores, 1e-20))
             gumbel = -jnp.log(-jnp.log(jax.random.uniform(
@@ -684,9 +732,10 @@ class Graph:
                           var.trig_theta_flipped)
             else:
                 flipped = var.rgb_input_map[:, :, ::-1, :]
-                # train-mode BN (batch statistics — a horizontal flip
-                # preserves them exactly, matching the reference's in-graph
-                # estimator call, `model/loss.py:114`); the duplicate
+                # train-mode BN on the flipped batch, matching the
+                # reference's in-graph estimator call (`model/loss.py:114`,
+                # also train-mode BN; past conv1 the flipped activations
+                # have their own batch statistics); the duplicate
                 # running-stats update is dropped
                 est_f, _ = self._apply_bn(
                     self.estimator, params["estimator"], stats["estimator"],

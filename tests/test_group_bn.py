@@ -182,3 +182,47 @@ def test_estimator_grouped_equals_separate():
     for a, b in zip(leaves_m, leaves_s):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=5e-4)
+
+
+def test_per_replica_bn_matches_split_forward(base_opt):
+    """tpu.bn_mode=per_replica: the sharded-batch encode must equal running
+    the GLOBAL-BN graph separately on each shard's rows from the same
+    starting running stats (DDP semantics, reference `model/runner.py:121`),
+    with the persistent stats following shard 0 (broadcast_buffers)."""
+    from shapeclipper_tpu.models.graph import Graph
+
+    opt = base_opt.deepcopy()
+    opt.H = opt.W = 16
+    opt.tpu.bn_mode = "per_replica"
+    opt.tpu.bn_replicas = 2
+    g_rep = Graph(opt)
+    assert g_rep.bn_replicas == 2
+    opt_g = opt.deepcopy()
+    opt_g.tpu.bn_mode = "global"
+    g_glob = Graph(opt_g)
+
+    state = g_rep.init(jax.random.PRNGKey(0))
+    params, stats = state["params"], state["batch_stats"]
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 3))
+
+    ps, pr, lat, new_stats = g_rep.encode(params, stats, imgs, True, False)
+    # per-shard forwards from the SAME incoming stats (DDP broadcast)
+    ps0, pr0, lat0, stats0 = g_glob.encode(params, stats, imgs[:2], True,
+                                           False)
+    ps1, pr1, lat1, _ = g_glob.encode(params, stats, imgs[2:], True, False)
+
+    np.testing.assert_allclose(np.asarray(ps), np.concatenate(
+        [np.asarray(ps0), np.asarray(ps1)]), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lat), np.concatenate(
+        [np.asarray(lat0), np.asarray(lat1)]), rtol=2e-5, atol=2e-5)
+    # persistent running stats == shard 0's chain
+    for a, b in zip(jax.tree_util.tree_leaves(new_stats),
+                    jax.tree_util.tree_leaves(stats0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+    # and differs from the global-BN stats chain (the mode does something)
+    _, _, _, stats_glob = g_glob.encode(params, stats, imgs, True, False)
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(jax.tree_util.tree_leaves(new_stats),
+                             jax.tree_util.tree_leaves(stats_glob))]
+    assert max(diffs) > 1e-6
