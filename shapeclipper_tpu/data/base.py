@@ -49,6 +49,17 @@ class Dataset:
         self.opt = opt.deepcopy() if hasattr(opt, "deepcopy") else opt
         self.split = split
         self.augment = (split == "train" and opt.data.get("augment"))
+        if self.augment:
+            # fail fast with a clear message instead of an ImportError at
+            # the first training batch (scipy is an optional dependency,
+            # needed only by the rotate/zoom warp in apply_augmentation)
+            try:
+                from scipy import ndimage  # noqa: F401
+            except ImportError as e:
+                raise ImportError(
+                    "data.augment requires scipy (pip install scipy / the "
+                    "'full' extra); the rotate/zoom warp uses "
+                    "scipy.ndimage.affine_transform") from e
 
     # ------------------------------------------------------ augmentation
     def generate_augmentation(self, opt, rng=None):
@@ -305,7 +316,14 @@ class DataLoader:
             stop.set()
             # Unblock a producer stuck in q.put so it reaches the stop check
             # and shuts its pool down — abandoning an iterator mid-epoch must
-            # not leak worker threads/processes.
+            # not leak worker threads/processes. Drain until the producer
+            # thread actually exits: a single drain can race a blocked
+            # q.put, leaving one final batch referenced in the queue.
+            while thread.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    thread.join(timeout=0.05)
             while True:
                 try:
                     q.get_nowait()

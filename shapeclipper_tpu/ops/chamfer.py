@@ -322,6 +322,13 @@ def _nn_dists_xla_bidir_prune(x1, x2, tile1=None, tile2=None):
         return b.at[j].set(m2)
     best2 = jax.lax.fori_loop(0, T2, seed2, best2)
 
+    # pad rows' running best would otherwise sit near BIG until the
+    # pad-containing opposite tile arrives, and `worst` (a max over rows)
+    # would disable pruning for most of the sweep; seed them to 0 — they
+    # are sliced away after unsorting, and min(0, d) keeps them at 0
+    best1 = jnp.where((jnp.arange(n1p) >= n1).reshape(T1, tile1), 0.0, best1)
+    best2 = jnp.where((jnp.arange(n2p) >= n2).reshape(T2, tile2), 0.0, best2)
+
     def outer(best2_all, xs):
         a, alo, ahi, b1 = xs                     # tile1 row block
 
