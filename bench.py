@@ -152,12 +152,24 @@ def supervise():
             parsed = None
         if parsed and parsed.get("value") is not None:
             print(line)
-            try:
-                os.makedirs(os.path.dirname(LOCAL_ARTIFACT), exist_ok=True)
-                with open(LOCAL_ARTIFACT, "w") as f:
-                    f.write(line + "\n")
-            except Exception:
-                pass
+            # tee as the fallback's "last measured" value — but only when
+            # measuring the DEFAULT config: A/B arms run under SCL_*
+            # overrides and must not masquerade as the flagship number
+            overrides = [k for k in ("SCL_FOLD_EIKONAL", "SCL_IMPLICIT_DTYPE",
+                                     "SCL_DEVICE_ISOSURFACE", "SCL_FUSED_EVAL",
+                                     "SCL_CHAMFER_CROSS", "SCL_CHAMFER_DISTS")
+                         if os.environ.get(k) is not None]
+            if not overrides:
+                try:
+                    os.makedirs(os.path.dirname(LOCAL_ARTIFACT),
+                                exist_ok=True)
+                    with open(LOCAL_ARTIFACT, "w") as f:
+                        f.write(line + "\n")
+                except Exception:
+                    pass
+            else:
+                print(f"bench: not updating {os.path.basename(LOCAL_ARTIFACT)}"
+                      f" (A/B overrides active: {overrides})", file=sys.stderr)
             return
     _fallback(f"measurement subprocess rc={r.returncode}, "
               f"last stdout line: {line!r}"[:280])

@@ -165,14 +165,19 @@ _FINISH_FULL_CACHE = {}
 
 
 def use_device_isosurface(opt):
-    """Device-side marching tetrahedra + surface sampling (default ON;
-    opt.tpu.device_isosurface=false or SCL_DEVICE_ISOSURFACE=0 restores the
-    host PyMCubes-style path). See eval3d/device_isosurface.py."""
+    """Device-side marching tetrahedra + surface sampling (default OFF:
+    the round-4 default-on was set while the tunnel was down and the first
+    real-TPU measurements, twice on 2026-08-18, put the fused device path
+    at 0.32x/0.68x of the pipelined host path at vox100/100k — the device
+    MT+inverse-CDF program is gather-bound at ~2 s/sample while host MT is
+    ~72 ms/sample overlapped by the eval pipeline. opt.tpu.device_isosurface
+    =true or SCL_DEVICE_ISOSURFACE=1 re-enables; the path stays parity-
+    tested (tests/test_device_isosurface.py) for many-core-starved hosts."""
     import os
     env = os.environ.get("SCL_DEVICE_ISOSURFACE")
     if env is not None:
         return env != "0"
-    return bool(opt.get("tpu", {}).get("device_isosurface", True))
+    return bool(opt.get("tpu", {}).get("device_isosurface", False))
 
 
 _use_device_isosurface = use_device_isosurface

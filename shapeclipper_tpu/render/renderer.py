@@ -57,7 +57,8 @@ def _sdf_grad_fn(opt, sdf_apply, params):
             force_symmetry=opt.arch.force_symmetry, detach_latent=detach)
     assert mode == "fwd", mode
     dtype = {"bfloat16": jnp.bfloat16}.get(
-        opt.get("tpu", {}).get("implicit_dtype"), jnp.float32)
+        os.environ.get("SCL_IMPLICIT_DTYPE")
+        or opt.get("tpu", {}).get("implicit_dtype"), jnp.float32)
     return lambda pts, lat, detach: sdf_fwdmode_xla(
         params["sdf_network"], pts, lat, n_freqs=a.pos_enc,
         skip_in=tuple(a.skip_connection), n_hidden=a.n_hidden_layers,
@@ -201,8 +202,14 @@ def render(
     # bias (no per-point repetition)
     sdf_grad = _sdf_grad_fn(opt, sdf_apply, params)
     grad_mode = opt.get("tpu", {}).get("sdf_grad_mode", "vjp")
+    # Folding the eikonal points into the main field evaluation removes a
+    # separate [B,2R] fwd+bwd dispatch chain but measured SLOWER end-to-end
+    # (TPU v5e, output/tpu_queue_r5.log: 17.43 it/s folded vs 18.57 unfolded
+    # at bf16) — the concat pushes the [B,R*S+2R] chain off the fast tile
+    # multiple and the bwd pays for it. Kept opt-in (tpu.fold_eikonal) with
+    # the parity test; default is the measured winner.
     env_fold = os.environ.get("SCL_FOLD_EIKONAL")  # A/B override
-    cfg_fold = (opt.get("tpu", {}).get("fold_eikonal", True)
+    cfg_fold = (opt.get("tpu", {}).get("fold_eikonal", False)
                 if env_fold is None else env_fold != "0")
     fold_eikonal = compute_eikonal and grad_mode == "vjp" and cfg_fold
     grad_eikonal = None

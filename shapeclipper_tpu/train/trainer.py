@@ -488,8 +488,12 @@ class Runner:
 
         # periodic metric evals run the fully fused single-program path
         # (no renders, no meshes); full eval keeps the two-program path for
-        # host-mesh extraction + dumps
-        device_metrics = training and eval_3D.use_device_isosurface(opt_e)
+        # host-mesh extraction + dumps — unless eval.dump=false, in which
+        # case meshes are never dumped so full eval takes the metric fast
+        # path too (host marching tets + renders exist only to be dumped,
+        # reference `model/runner.py:359-361,469-497`)
+        dump = (not training) and bool(opt.eval.get("dump", True))
+        device_metrics = (not dump) and eval_3D.use_device_isosurface(opt_e)
 
         def finish(it, n_valid, var, payload, cats):
             nonlocal n_seen
@@ -499,7 +503,7 @@ class Runner:
                 eval_3D.eval_metrics_finish(opt_e, var, payload,
                                             rng=np.random.RandomState(it),
                                             seed=it,
-                                            need_meshes=not training)
+                                            need_meshes=dump)
             f_scores.append(np.asarray(var.f_score)[:n_valid])
             n_seen += n_valid
             cd_acc = np.asarray(var.cd_acc)[:n_valid]
@@ -516,7 +520,7 @@ class Runner:
                 if self.tb:
                     self.visualize_viz_data(opt, step=ep, split="eval")
                 self._dump_rotating_vis(opt, ep)
-            if not training:
+            if dump:
                 B_c = opt.eval.batch_size
                 if n_valid < B_c:  # drop padded rows from dumps
                     mesh_pred = var.get("mesh_pred")
@@ -527,6 +531,15 @@ class Runner:
                     if mesh_pred is not None:
                         var.mesh_pred = mesh_pred[:n_valid]
                 self.dump_results(opt_e, var, ep, write_new=(it == 0))
+            elif not training:
+                # eval.dump=false still records the per-sample chamfer
+                # report (normally written inside dump_results)
+                with open(f"{self.opt.output_path}/chamfer.txt",
+                          "w" if it == 0 else "a") as f:
+                    for i, acc, comp in zip(np.asarray(var.idx)[:n_valid],
+                                            np.asarray(var.cd_acc)[:n_valid],
+                                            np.asarray(var.cd_comp)[:n_valid]):
+                        f.write(f"{i} {acc:.8f} {comp:.8f}\n")
 
         pipelined = opt.get("tpu", {}).get("eval_pipeline", True)
         pending = None
@@ -550,9 +563,9 @@ class Runner:
                     self.params, self.batch_stats, var,
                     jax.random.PRNGKey(it))
             else:
-                # full eval (training=False) renders for dump_results;
-                # the host-isosurface fallback needs the level grid
-                fwd = (self._eval_forward_and_grid if not training
+                # full eval (dumping) renders for dump_results; the
+                # host-isosurface fallback needs the level grid
+                fwd = (self._eval_forward_and_grid if dump
                        else self._eval_forward_and_grid_metrics)
                 var, payload = fwd(self.params, self.batch_stats, var)
             if pending is not None:

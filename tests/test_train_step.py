@@ -438,6 +438,50 @@ def test_evaluate_ragged_last_batch(tmp_path):
     assert int(cat_line[3]) == 5  # per-category count excludes padding
 
 
+def test_evaluate_dump_false_fast_path(tmp_path):
+    """eval.dump=false: full eval takes the fused metric path — no dump/
+    folder, no renders, no host meshes — while the metric value and the
+    report artifacts (chamfer/cd_cat/f_score) match the dumping run."""
+    opt = tiny_opt(tmp_path / "dump_on")
+    opt.data.max_img_cat = 4
+    runner = Runner(opt)
+    runner.load_dataset(opt)
+    runner.build_networks(opt)
+    runner.setup_optimizer(opt)
+    runner.restore_checkpoint(opt)
+    val_dump = runner.evaluate(opt, ep=1, training=False)
+    assert os.path.isdir(f"{opt.output_path}/dump")
+    with open(f"{opt.output_path}/chamfer.txt") as f:
+        chamfer_dump = f.read()
+
+    opt2 = tiny_opt(tmp_path / "dump_off")
+    opt2.data.max_img_cat = 4
+    opt2.eval.dump = False
+    runner2 = Runner(opt2)
+    runner2.load_dataset(opt2)
+    runner2.build_networks(opt2)
+    runner2.setup_optimizer(opt2)
+    runner2.restore_checkpoint(opt2)
+    val_fast = runner2.evaluate(opt2, ep=1, training=False)
+    assert not os.path.isdir(f"{opt2.output_path}/dump")
+    assert os.path.exists(f"{opt2.output_path}/cd_cat.txt")
+    assert os.path.exists(f"{opt2.output_path}/f_score.txt")
+    # identical init (same seed) -> same metrics through either program
+    np.testing.assert_allclose(val_fast, val_dump, rtol=1e-4)
+    with open(f"{opt2.output_path}/chamfer.txt") as f:
+        chamfer_fast = f.read()
+    assert len(chamfer_fast.strip().splitlines()) == 4
+    for line_a, line_b in zip(chamfer_dump.strip().splitlines(),
+                              chamfer_fast.strip().splitlines()):
+        ia, aa, ca = line_a.split()
+        ib, ab, cb = line_b.split()
+        assert ia == ib
+        np.testing.assert_allclose(float(aa), float(ab), rtol=1e-3,
+                                   atol=1e-6)
+        np.testing.assert_allclose(float(ca), float(cb), rtol=1e-3,
+                                   atol=1e-6)
+
+
 def test_implicit_bf16_option(tmp_path):
     """tpu.implicit_dtype=bfloat16 runs and stays close to the f32 loss."""
     import jax
