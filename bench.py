@@ -157,7 +157,8 @@ def supervise():
             # overrides and must not masquerade as the flagship number
             overrides = [k for k in ("SCL_FOLD_EIKONAL", "SCL_IMPLICIT_DTYPE",
                                      "SCL_DEVICE_ISOSURFACE", "SCL_FUSED_EVAL",
-                                     "SCL_CHAMFER_CROSS", "SCL_CHAMFER_DISTS")
+                                     "SCL_CHAMFER_CROSS", "SCL_CHAMFER_DISTS",
+                                     "SCL_REMAT_RENDERER")
                          if os.environ.get(k) is not None]
             if not overrides:
                 try:

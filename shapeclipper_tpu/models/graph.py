@@ -296,7 +296,10 @@ class Graph:
                 visualize=visualize, compute_eikonal=compute_eikonal,
                 eikonal_batch=eikonal_batch)
 
-        if training and self.opt.get("tpu", {}).get("remat_renderer"):
+        env_remat = os.environ.get("SCL_REMAT_RENDERER")  # A/B override
+        cfg_remat = (self.opt.get("tpu", {}).get("remat_renderer")
+                     if env_remat is None else env_remat != "0")
+        if training and cfg_remat:
             # rematerialize renderer activations in the backward pass (trades
             # FLOPs for HBM; useful for large ray/sample counts)
             run = jax.checkpoint(run)
