@@ -158,7 +158,7 @@ def supervise():
             overrides = [k for k in ("SCL_FOLD_EIKONAL", "SCL_IMPLICIT_DTYPE",
                                      "SCL_DEVICE_ISOSURFACE", "SCL_FUSED_EVAL",
                                      "SCL_CHAMFER_CROSS", "SCL_CHAMFER_DISTS",
-                                     "SCL_REMAT_RENDERER")
+                                     "SCL_REMAT_RENDERER", "SCL_BENCH_BATCH")
                          if os.environ.get(k) is not None]
             if not overrides:
                 try:
@@ -190,6 +190,10 @@ def main():
 
     opt = options.load_options(
         os.path.join(os.path.dirname(__file__), "options/pix3d/config.yaml"))
+    if os.environ.get("SCL_BENCH_BATCH"):
+        # batch-scaling sweep arm (MFU headroom study) — the overrides guard
+        # in supervise() keeps these runs out of bench_local_latest.json
+        opt.batch_size = int(os.environ["SCL_BENCH_BATCH"])
     opt.H, opt.W = opt.image_size       # 224 x 224
     opt.data.dataset = "synthetic"
     opt.data.num_workers = 0
@@ -274,6 +278,8 @@ def main():
         "unit": "it/s",
         "vs_baseline": round(its / ASSUMED_A100_REFERENCE_ITS, 4),
         "step_ms": round(step_s * 1000, 3),
+        "batch_size": int(opt.batch_size),
+        "samples_per_sec_per_chip": round(its * opt.batch_size, 2),
         "flops_per_step": flops,
         "mfu": round(mfu, 5) if mfu is not None else None,
         "device": jax.devices()[0].device_kind,
