@@ -78,7 +78,9 @@ def main(n_steps=300, seed=0, implicit_dtype=None, tag="", mesh=None,
     cd_final = runner.evaluate(opt, ep=1, training=True)
 
     summary = dict(
-        steps=n_steps, seed=seed, implicit_dtype=implicit_dtype or "float32",
+        steps=n_steps, seed=seed,
+        implicit_dtype=str(os.environ.get("SCL_IMPLICIT_DTYPE")
+                           or opt.tpu.get("implicit_dtype") or "float32"),
         loss_first10=float(np.mean(losses[:10])),
         loss_last10=float(np.mean(losses[-10:])),
         cd_init=float(cd_init),
